@@ -1,0 +1,138 @@
+"""Tests for MJD, polyco parsing, and phase prediction.
+
+Regression targets: the shipped Vela polyco fixture
+(/root/reference/Benchmark/vela.polyco) and internal consistency
+(frequency == d(phase)/dt).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dspsr_tpu.timing.mjd import MJD
+from dspsr_tpu.timing.polyco import Polyco, FixedPeriodPredictor
+from dspsr_tpu.timing.par import Ephemeris
+
+
+class TestMJD:
+    def test_roundtrip(self):
+        t = MJD.from_mjd(55299.10416666660)
+        assert abs(t.in_days() - 55299.10416666660) < 1e-12
+
+    def test_utc_parse(self):
+        # 2010-04-13 is MJD 55299
+        t = MJD.from_utc("2010-04-13-02:05:45")
+        assert t.days == 55299
+        assert abs(t.secs - (2 * 3600 + 5 * 60 + 45)) < 1e-9
+
+    def test_arithmetic(self):
+        a = MJD.from_utc("2010-04-13-00:00:00")
+        b = a + 86400.0
+        assert b.days == a.days + 1
+        assert abs((b - a) - 86400.0) < 1e-9
+
+    def test_normalization_negative(self):
+        t = MJD(55299, -10.0)
+        assert t.days == 55298
+        assert abs(t.secs - 86390.0) < 1e-9
+
+    def test_ordering(self):
+        a = MJD(55299, 100.0)
+        b = MJD(55299, 200.0)
+        assert a < b and b > a and a <= a
+
+
+class TestPolyco:
+    def test_parse_vela(self, vela_polyco):
+        assert len(vela_polyco.blocks) == 1
+        b = vela_polyco.blocks[0]
+        assert b.name == "0835-4510"
+        assert abs(b.f0 - 11.194649939500) < 1e-12
+        assert b.ncoef == 15
+        assert b.span_minutes == 120
+        assert abs(b.dm - 67.989998) < 1e-6
+        assert abs(b.coefs[0] - 5.06097904229914526e-08) < 1e-20
+
+    def test_phase_at_tmid(self, vela_polyco):
+        b = vela_polyco.blocks[0]
+        # at tmid, dt=0: phase = rphase + c[0]
+        ph = b.phase(b.tmid)
+        assert abs(ph - (b.rphase + b.coefs[0])) < 1e-6
+
+    def test_frequency_is_phase_derivative(self, vela_polyco):
+        b = vela_polyco.blocks[0]
+        t = b.tmid + 600.0  # 10 min after tmid
+        eps = 1e-3  # seconds
+        # use fracturns (precision-preserving) for the numerical derivative;
+        # absolute phase ~3.6e9 turns would lose ~1e-6 turns to roundoff
+        dphi = (b.fracturns(t + eps) - b.fracturns(t - eps)) % 1.0
+        dnum = dphi / (2 * eps)
+        assert abs(dnum - b.frequency(t)) < 1e-6 * b.frequency(t)
+
+    def test_fracturns_matches_phase(self, vela_polyco):
+        b = vela_polyco.blocks[0]
+        t = b.tmid + 123.456
+        frac = b.fracturns(t)
+        # full-phase fmod has ~1e-6 resolution at rphase~3.6e9; fracturns
+        # should agree to that level while itself being much more precise
+        full = b.phase(t)
+        assert abs((full - math.floor(full)) - frac) % 1.0 < 1e-5
+        assert 0.0 <= frac < 1.0
+
+    def test_fracturns_precision(self, vela_polyco):
+        # advancing time by exactly one period advances fracturns by ~1
+        b = vela_polyco.blocks[0]
+        t = b.tmid + 60.0
+        p = 1.0 / b.frequency(t)
+        f0 = b.fracturns(t)
+        f1 = b.fracturns(t + p)
+        dphi = (f1 - f0) % 1.0
+        dphi = min(dphi, 1.0 - dphi)
+        assert dphi < 1e-9
+
+    def test_vela_period_sane(self, vela_polyco):
+        t = vela_polyco.blocks[0].tmid
+        p = vela_polyco.period(t)
+        assert 0.089 < p < 0.090  # Vela ~89.3 ms
+
+    def test_j0437_polyco(self):
+        p = Polyco.load("/root/reference/Benchmark/polyco.dat")
+        b = p.blocks[0]
+        assert abs(b.f0 - 173.687948877644) < 1e-9
+        assert b.binary_phase is not None
+        t = b.tmid
+        assert 0.00575 < 1.0 / b.frequency(t) < 0.00576  # J0437 ~5.757 ms
+
+    def test_best_block_selection(self, vela_polyco):
+        b = vela_polyco.blocks[0]
+        assert vela_polyco.best_block(b.tmid) is b
+
+    def test_phase_anchors(self, vela_polyco):
+        b = vela_polyco.blocks[0]
+        start = b.tmid
+        tsamp = 1e-3
+        anchors = vela_polyco.phase_anchors(start, tsamp, [0, 1000, 2000])
+        assert anchors.shape == (3,)
+        for i, off in enumerate([0, 1000, 2000]):
+            assert abs(anchors[i] - b.fracturns(start + off * tsamp)) < 1e-12
+
+
+class TestFixedPeriod:
+    def test_cal_fold(self):
+        pred = FixedPeriodPredictor(0.5, MJD(55000, 0.0))
+        t = MJD(55000, 1.25)
+        assert abs(pred.fracturns(t) - 0.5) < 1e-12
+        assert pred.frequency(t) == 2.0
+
+
+class TestEphemeris:
+    def test_vela_par(self, vela_par):
+        assert vela_par.name == "J0835-4510"
+        assert abs(vela_par.dm - 67.99) < 1e-6
+        assert abs(vela_par.f0 - 11.1946499395) < 1e-10
+        assert vela_par.f1 == pytest.approx(-1.5666e-11)
+
+    def test_period_at_epoch(self, vela_par):
+        p = vela_par.period_at(vela_par.pepoch)
+        assert 0.089 < p < 0.090
