@@ -3,16 +3,19 @@
 Multi-chip TPU hardware is unavailable in CI; sharding correctness is
 validated on XLA's host platform with 8 virtual devices (the driver
 separately dry-runs the multi-chip path).
+
+NOTE: the ambient environment forces the "axon" (tunneled TPU) platform and
+ignores the JAX_PLATFORMS env var, so we must override via jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
