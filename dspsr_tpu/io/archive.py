@@ -1,0 +1,71 @@
+"""Fold-mode archive output.
+
+Equivalent of the reference ``dsp::Archiver`` + PSRCHIVE ``Pulsar::Archive``
+(``Signal/Pulsar/Archiver.C``): persists folded phase-resolved profiles with
+enough metadata to analyse (and to compare against reference archives).
+
+v1 container: a single ``.npz`` with a documented schema ("archive-lite");
+a PSRFITS fold-mode writer is layered on in io/psrfits.py.
+
+Schema (all arrays little-endian):
+  profiles  float32[nsub, nchan, npol, nbin]  raw accumulated sums
+  hits      float32[nsub, nchan, nbin]        samples per bin
+  epochs_mjd float64[nsub]                    epoch per subint (MJD days)
+  lengths   float64[nsub]                     integration seconds per subint
+  freqs_mhz float64[nchan]                    channel centre frequencies
+  meta      str(json)                         source/dm/period/state/...
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..models.load_to_fold import FoldResult
+
+
+def filename_epoch(result, ext: str = "npz") -> str:
+    """Reference filename convention (``FilenameEpoch``,
+    ``LoadToFold1.C:1271-1328``): <source>_<UTC start>.<ext>."""
+    t = result.epochs[0] if result.epochs else result.obs.start_time
+    mjd = t.in_days()
+    src = result.obs.source or "unknown"
+    return f"{src}_{mjd:.6f}.{ext}"
+
+
+def save_archive(path: str, result: "FoldResult") -> None:
+    obs = result.obs
+    freqs = np.array([obs.centre_frequency_of(i) for i in range(obs.nchan)])
+    meta = {
+        "source": obs.source,
+        "telescope": obs.telescope,
+        "state": obs.state.value,
+        "centre_frequency": obs.centre_frequency,
+        "bandwidth": obs.bandwidth,
+        "nbin": result.nbin,
+        "dispersion_measure": result.dispersion_measure,
+        "folding_period": result.folding_period,
+        "npol": obs.npol,
+        "nchan": obs.nchan,
+        "format": "dspsr_tpu archive-lite v1",
+    }
+    np.savez_compressed(
+        path,
+        profiles=result.profiles.astype(np.float32),
+        hits=result.hits.astype(np.float32),
+        epochs_mjd=np.array([e.in_days() for e in result.epochs]),
+        lengths=np.asarray(result.integration_length, np.float64),
+        freqs_mhz=freqs,
+        meta=json.dumps(meta),
+    )
+
+
+def load_archive(path: str) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        out = {k: z[k] for k in z.files if k != "meta"}
+        out["meta"] = json.loads(str(z["meta"]))
+    return out

@@ -1,0 +1,206 @@
+"""Block data sources: the Input layer.
+
+Equivalent of the reference Input hierarchy (``Kernel/Classes/dsp/Input.h``,
+``Seekable.h``, ``File.h``, ``MultiFile.h``, ``DummyFile.h``): sources
+deliver raw packed byte blocks plus the Observation describing them.
+
+Unlike the reference's mutable load(BitSeries) protocol, sources here expose
+a simple positional read: ``read_samples(start_sample, nsamp) -> bytes`` —
+overlap handling lives in the pipeline's block planner (which re-reads the
+overlap region; the OS page cache plays the role of the reference's
+``Seekable::recycle_data`` ring buffer).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..observation import Observation
+from .dada import read_dada_header, observation_from_header
+
+_REGISTRY: List[type] = []
+
+
+def register_format(cls):
+    """Class decorator enrolling a Source in the probe registry
+    (equivalent of ``File_registry.C``)."""
+    _REGISTRY.append(cls)
+    return cls
+
+
+def open_source(path: str, **kw) -> "Source":
+    """Probe every registered format's ``is_valid`` (reference
+    ``File::create``, ``Kernel/Classes/File.C``)."""
+    for cls in _REGISTRY:
+        if cls.is_valid(path):
+            return cls(path, **kw)
+    raise ValueError(f"no registered format recognises {path!r}")
+
+
+class Source:
+    """Abstract block source."""
+
+    obs: Observation
+
+    def bytes_per_sample_exact(self) -> int:
+        """Bytes per time sample; must be integral for byte-addressable seeks."""
+        bps = self.obs.nbytes_per_sample
+        if bps != int(bps):
+            raise ValueError(
+                f"non-integral bytes/sample ({bps}); sub-byte multi-sample "
+                "framing not yet supported"
+            )
+        return int(bps)
+
+    @property
+    def total_samples(self) -> int:
+        raise NotImplementedError
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        """Return uint8[nsamp * bytes_per_sample] (zero-padded past EOD)."""
+        raise NotImplementedError
+
+    def end_of_data(self, start: int) -> bool:
+        return start >= self.total_samples
+
+
+@register_format
+class DADAFile(Source):
+    """Single DADA file: ASCII header + raw packed samples
+    (reference ``Kernel/Classes/DADAFile.C``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        hdr, hdr_size = read_dada_header(path)
+        self.obs = observation_from_header(hdr)
+        self.header = hdr
+        self.header_bytes = hdr_size
+        data_bytes = os.path.getsize(path) - hdr_size
+        bps = self.bytes_per_sample_exact()
+        self._total = data_bytes // bps
+        if self.obs.ndat and self.obs.ndat < self._total:
+            self._total = self.obs.ndat
+        self.obs = self.obs.replace(ndat=self._total)
+
+    @staticmethod
+    def is_valid(path: str) -> bool:
+        try:
+            with open(path, "rb") as f:
+                head = f.read(256)
+            if head[:5] == b"DUMMY":  # synthetic header -> DummySource
+                return False
+            probe = head.decode("latin-1", "replace")
+            return "HDR_VERSION" in probe or "HDR_SIZE" in probe
+        except OSError:
+            return False
+
+    @property
+    def total_samples(self) -> int:
+        return self._total
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        out = np.zeros(nsamp * bps, np.uint8)
+        if start >= self._total:
+            return out
+        navail = min(nsamp, self._total - start)
+        with open(self.path, "rb") as f:
+            f.seek(self.header_bytes + start * bps)
+            buf = f.read(navail * bps)
+        out[: len(buf)] = np.frombuffer(buf, np.uint8)
+        return out
+
+
+@register_format
+class DummySource(Source):
+    """Synthetic source driven only by a header: fake data for benchmarks
+    (reference ``DummyFile``, ``Kernel/Classes/dsp/DummyFile.h`` — 'Make fake
+    data for benchmark purposes'; the DUMMY instrument in
+    ``Benchmark/header.dada``).
+
+    Generates reproducible pseudo-random bytes per block (cheap xor-shift on
+    the sample index, not cryptographic), so benchmark runs need no disk.
+    """
+
+    def __init__(self, path_or_header, noise: bool = True):
+        if isinstance(path_or_header, Observation):
+            self.obs = path_or_header
+        else:
+            hdr, _ = read_dada_header(path_or_header)
+            self.obs = observation_from_header(hdr)
+        self.noise = noise
+        self._total = self.obs.ndat or (1 << 62)
+
+    @staticmethod
+    def is_valid(path: str) -> bool:
+        try:
+            with open(path, "rb") as f:
+                return f.read(5) == b"DUMMY"
+        except OSError:
+            return False
+
+    @property
+    def total_samples(self) -> int:
+        return self._total
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        n = nsamp * bps
+        if not self.noise:
+            return np.zeros(n, np.uint8)
+        # deterministic bytes from the absolute byte index
+        idx = (np.arange(n, dtype=np.uint64) + np.uint64(start * bps))
+        h = idx * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return (h & np.uint64(0xFF)).astype(np.uint8)
+
+
+class MultiFile(Source):
+    """Concatenate contiguous files into one logical stream
+    (reference ``Kernel/Classes/MultiFile.C``)."""
+
+    def __init__(self, paths: Sequence[str], force_contiguity: bool = False):
+        if not paths:
+            raise ValueError("no files")
+        self.parts = [open_source(p) for p in paths]
+        obs0 = self.parts[0].obs
+        for prev, nxt in zip(self.parts, self.parts[1:]):
+            if not force_contiguity and not prev.obs.contiguous_with(nxt.obs):
+                raise ValueError(
+                    f"files not contiguous: {prev!r} then {nxt!r} "
+                    "(pass force_contiguity=True to override)"
+                )
+        self.obs = obs0.replace(ndat=sum(p.total_samples for p in self.parts))
+        self._offsets = np.cumsum([0] + [p.total_samples for p in self.parts])
+
+    @staticmethod
+    def is_valid(path) -> bool:
+        return False  # constructed explicitly, not probed
+
+    @property
+    def total_samples(self) -> int:
+        return int(self._offsets[-1])
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        out = np.zeros(nsamp * bps, np.uint8)
+        filled = 0
+        while filled < nsamp:
+            pos = start + filled
+            if pos >= self.total_samples:
+                break
+            i = int(np.searchsorted(self._offsets, pos, side="right")) - 1
+            local = pos - int(self._offsets[i])
+            take = min(nsamp - filled, self.parts[i].total_samples - local)
+            out[filled * bps : (filled + take) * bps] = self.parts[i].read_samples(
+                local, take
+            )
+            filled += take
+        return out

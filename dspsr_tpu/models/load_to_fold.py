@@ -1,0 +1,446 @@
+"""Fold-mode pipeline: load -> unpack -> (filterbank|convolve) -> detect -> fold.
+
+Equivalent of the reference ``dsp::LoadToFold``
+(``Signal/Pulsar/LoadToFold1.C``): assembles the end-to-end fold pipeline
+from a config, prepares chirps/plans/predictors, and runs the block loop.
+
+TPU-native shape: the whole per-block pipeline is ONE jitted function
+(``FoldPipeline._step``) with the fold accumulators as donated carry — XLA
+fuses unpack, FFTs, chirp multiply, detection and the fold matmuls into a
+single device program per block; the host loop just feeds raw bytes and
+float32 phase anchors.  This replaces the reference's operation vector +
+pthread pipeline replication (``SingleThread.C:405-430``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..observation import Observation, Signal
+from ..timing.mjd import MJD
+from ..timing.polyco import Polyco, FixedPeriodPredictor
+from ..timing.par import Ephemeris
+from ..io.sources import Source, open_source
+from ..unpack.unpackers import UnpackPlan
+from ..ops.response import Response, choose_nfft
+from ..ops.dedispersion import Dedispersion
+from ..ops.convolution import OverlapSavePlan, overlap_save_convolve
+from ..ops.filterbank import FilterbankPlan, filterbank_block, update_observation
+from ..ops.detection import detect
+from ..ops.fold import FoldPlan, fold_block, compute_anchors, choose_nbin
+
+
+@dataclass
+class FoldConfig:
+    """Subset of the reference ``LoadToFold::Config``
+    (``Signal/Pulsar/LoadToFoldConfig.C``) — grows as features land."""
+
+    # dispersion / channelization
+    dispersion_measure: Optional[float] = None  # -D; default from ephemeris
+    nchan: int = 1  # -F: output filterbank channels
+    frequency_resolution: Optional[int] = None  # -x: spectral res per channel
+    coherent: bool = True  # coherent dedispersion (chirp) vs none
+
+    # folding
+    nbin: int = 0  # -b; 0 = choose automatically
+    folding_period: Optional[float] = None  # -c
+    polyco_path: Optional[str] = None  # -P
+    ephemeris_path: Optional[str] = None  # -E
+    reference_phase: float = 0.0  # -p
+
+    # detection
+    npol_out: int = 1  # -d 1|2|4 -> Intensity|PPQQ|Stokes
+    fourth_moment: bool = False
+
+    # subints
+    subint_seconds: float = 0.0  # -L
+
+    # engine geometry
+    block_parts: int = 4  # FFT windows per device block
+    seg_len: int = 2048  # fold phase-anchor segment (output samples)
+    max_nfft: int = 1 << 24
+
+    # unpacking
+    twos_complement: bool = False
+    ndat_per_weight: int = 512
+    cutoff_sigma: float = 3.0
+
+    def detection_state(self) -> Signal:
+        return {1: Signal.INTENSITY, 2: Signal.PPQQ, 4: Signal.STOKES}[self.npol_out]
+
+
+@dataclass
+class FoldResult:
+    """The PhaseSeries equivalent (``Signal/Pulsar/dsp/PhaseSeries.h``)."""
+
+    profiles: np.ndarray  # [nsub, nchan, npol, nbin]
+    hits: np.ndarray  # [nsub, nchan, nbin]
+    epochs: list  # MJD mid-time per subint
+    integration_length: np.ndarray  # seconds per subint
+    obs: Observation  # output-domain observation (channelized, detected)
+    nbin: int = 0
+    folding_period: float = 0.0
+    dispersion_measure: float = 0.0
+
+    def normalized(self) -> np.ndarray:
+        """Profiles divided by hits (the archive convention,
+        ``Archiver.C:407-773`` raw_to_central)."""
+        h = np.maximum(self.hits[:, :, None, :], 1.0)
+        return self.profiles / h
+
+    def dedispersed(self, ref_freq: float | None = None) -> np.ndarray:
+        """Normalized profiles with inter-channel dispersion delays rotated
+        out (PSRCHIVE ``Archive::dedisperse`` equivalent; the time-domain
+        analogue is the reference's ``SampleDelay`` -K op).
+
+        Each channel is rotated by -delay(f_chan, f_ref)/period turns using
+        an FFT phase ramp (fractional-bin rotation).
+        """
+        from ..ops.dedispersion import delay_time
+
+        prof = self.normalized()
+        if self.dispersion_measure == 0 or self.folding_period <= 0:
+            return prof
+        obs = self.obs
+        if ref_freq is None:
+            ref_freq = obs.centre_frequency
+        nbin = prof.shape[-1]
+        k = np.fft.rfftfreq(nbin) * nbin  # 0..nbin/2
+        out = np.empty_like(prof)
+        for c in range(obs.nchan):
+            dphi = delay_time(self.dispersion_measure,
+                              obs.centre_frequency_of(c), ref_freq) / self.folding_period
+            ramp = np.exp(2j * np.pi * k * dphi)  # advance by dphi turns
+            spec = np.fft.rfft(prof[:, c], axis=-1) * ramp
+            out[:, c] = np.fft.irfft(spec, n=nbin, axis=-1)
+        return out
+
+
+class FoldPipeline:
+    """Constructed, prepared fold pipeline over one Source."""
+
+    def __init__(self, source: Source, config: FoldConfig):
+        self.source = source
+        self.config = config
+        self.obs_in = source.obs
+        self._construct()
+
+    # ---- construction (LoadToFold::construct/prepare equivalents) ----
+
+    def _construct(self):
+        cfg = self.config
+        obs = self.obs_in
+
+        # --- predictor & DM (LoadToFold::prepare, LoadToFold1.C:676-744) ---
+        self.ephemeris = Ephemeris.load(cfg.ephemeris_path) if cfg.ephemeris_path else None
+        if cfg.folding_period:
+            self.predictor = FixedPeriodPredictor(cfg.folding_period, obs.start_time)
+        elif cfg.polyco_path:
+            self.predictor = Polyco.load(cfg.polyco_path)
+        else:
+            raise ValueError("need folding_period, polyco_path (or TEMPO integration)")
+
+        dm = cfg.dispersion_measure
+        if dm is None and self.ephemeris is not None:
+            dm = self.ephemeris.dm
+        if dm is None and isinstance(self.predictor, Polyco):
+            dm = self.predictor.blocks[0].dm
+        if dm is None:
+            dm = obs.dispersion_measure
+        self.dm = float(dm or 0.0)
+
+        # --- unpacker ---
+        self.unpack_plan = UnpackPlan(
+            obs,
+            twos_complement=cfg.twos_complement,
+            ndat_per_weight=cfg.ndat_per_weight,
+            cutoff_sigma=cfg.cutoff_sigma,
+        )
+
+        # --- channelization / convolution geometry ---
+        real_input = obs.state == Signal.NYQUIST
+        self.nchan_subband = max(1, cfg.nchan // obs.nchan) if cfg.nchan else 1
+        nchan_out = obs.nchan * self.nchan_subband
+
+        if cfg.coherent and self.dm > 0:
+            # smearing per *output* channel in complex samples at the output rate
+            from ..ops.dedispersion import Dedispersion as D
+
+            nfp = D._half_smearing_samples(
+                self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, +1, 0.1)
+            nfn = D._half_smearing_samples(
+                self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, -1, 0.1)
+        else:
+            nfp = nfn = 0
+        nfilt_tot = nfp + nfn
+
+        if self.nchan_subband > 1:
+            # convolving filterbank (convolve_when=During): freq_res from the
+            # smear (Filterbank::make_preparations, Filterbank.C:55-263);
+            # incoherent filterbank defaults to critical sampling (freq_res=1,
+            # the reference TFPFilterbank-style channelizer)
+            if cfg.frequency_resolution:
+                freq_res = cfg.frequency_resolution
+            elif nfilt_tot == 0:
+                freq_res = 1
+            else:
+                freq_res = choose_nfft(nfilt_tot, max_nfft=cfg.max_nfft)
+            self.fb_plan = FilterbankPlan(
+                real_input=real_input,
+                nchan_subband=self.nchan_subband,
+                freq_res=freq_res,
+                nfilt_pos=nfp,
+                nfilt_neg=nfn,
+            )
+            self.fb_plan.validate()
+            self.conv_plan = None
+            self.obs_stream = update_observation(obs, self.fb_plan)
+            ndat_fft = freq_res
+        else:
+            n_fft = cfg.frequency_resolution or choose_nfft(
+                nfilt_tot, max_nfft=cfg.max_nfft)
+            if cfg.coherent and self.dm > 0:
+                self.conv_plan = OverlapSavePlan(real_input, n_fft, nfp, nfn)
+                self.conv_plan.validate()
+            else:
+                self.conv_plan = None
+            self.fb_plan = None
+            rate = obs.rate / (2 if real_input else 1)
+            self.obs_stream = obs.replace(
+                state=Signal.ANALYTIC, ndim=2,
+                rate=rate if (self.conv_plan or not real_input) else obs.rate,
+            ) if (self.conv_plan or obs.state == Signal.ANALYTIC) else obs
+            ndat_fft = n_fft
+
+        # --- chirp (Dedispersion::match/build; LoadToFold1.C:199-241) ---
+        if cfg.coherent and self.dm > 0:
+            self.kernel = Dedispersion.build(
+                self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, ndat_fft)
+            if self.fb_plan is not None:
+                self._response_natural = jnp.asarray(self.kernel.phasors)
+                self._response_fftorder = None
+            else:
+                self._response_natural = None
+                self._response_fftorder = jnp.asarray(
+                    Response(self.kernel.phasors, nfp, nfn).fft_order(
+                        complex_input=not real_input))
+        else:
+            self.kernel = None
+            self._response_natural = None
+            self._response_fftorder = None
+
+        # --- detection ---
+        self.det_state = cfg.detection_state()
+        self.obs_out = self.obs_stream.apply_detection(self.det_state)
+
+        # --- fold plan (Fold::prepare; choose_nbin Fold.C:275-382) ---
+        tsamp_out = 1.0 / self.obs_out.rate
+        period = self.predictor.period(obs.start_time)
+        self.nbin = choose_nbin(period, tsamp_out, cfg.nbin)
+        self.folding_period = period
+        self.fold_plan = FoldPlan(nbin=self.nbin, seg_len=cfg.seg_len)
+
+        # --- block geometry ---
+        self._plan_blocks()
+
+        # --- accumulators ---
+        nchan, npol = self.obs_out.nchan, self.obs_out.npol
+        self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
+        self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        self._subints: list[FoldResult] = []
+        self._current_div = 0
+        self._div_samples = 0.0
+        self._first_out_time: Optional[MJD] = None
+        self._last_out_time: Optional[MJD] = None
+
+    def _plan_blocks(self):
+        cfg = self.config
+        if self.fb_plan is not None:
+            p = self.fb_plan
+        elif self.conv_plan is not None:
+            p = self.conv_plan
+        else:
+            p = None
+        if p is not None:
+            self.nsamp_step = p.nsamp_step
+            self.nsamp_overlap = p.nsamp_overlap
+            self.npart = cfg.block_parts
+            self.block_in_samples = p.block_ndat(self.npart)
+            nkeep = p.nkeep if self.fb_plan is not None else p.nkeep_c
+            out_per_block = self.npart * nkeep
+        else:
+            # no FFT stage: plain blocks sized to the source (detection of a
+            # real stream keeps it real at full rate — no analytic halving)
+            block = min(1 << 20, self.source.total_samples)
+            block = max((block // 4096) * 4096, 4096)
+            self.nsamp_step = block
+            self.nsamp_overlap = 0
+            self.npart = 1
+            self.block_in_samples = block
+            out_per_block = block
+
+        # fold segments must tile the block's output samples
+        seg = self.config.seg_len
+        if out_per_block % seg:
+            # shrink seg_len to a divisor (power-of-two friendly)
+            while seg > 1 and out_per_block % seg:
+                seg //= 2
+            self.fold_plan = FoldPlan(self.nbin, seg)
+        self.out_per_block = out_per_block
+        self.stride_in_samples = self.npart * self.nsamp_step
+
+    # ---- the jitted device step ----
+
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnames=("profiles", "hits"))
+    def _step(self, profiles, hits, raw, phi0, dphi):
+        x, w = self.unpack_plan.unpack(raw)
+        # w: [nchan_in, nweights] block weights or None
+        if self.fb_plan is not None:
+            y = filterbank_block(x, self.fb_plan, self.npart, self._response_natural)
+        elif self.conv_plan is not None:
+            y = overlap_save_convolve(
+                x, self._response_fftorder, self.conv_plan, self.npart)
+        else:
+            y = x
+        d = detect(y, self.det_state)
+        nchan, npol = d.shape[0], d.shape[1]
+        ndat_out = d.shape[2]
+        nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len
+        weights = self._stream_weights(w, nchan, nuse)
+        return fold_block(
+            profiles, hits, d[..., :nuse], weights, phi0, dphi, self.fold_plan)
+
+    def _stream_weights(self, w, nchan, nuse):
+        """Map unpacker block weights onto output samples (the reference
+        convolves/scrunches weights through Filterbank/Convolution,
+        ``WeightedTimeSeries::convolve_weights``).  v1: if any input-block
+        weight in the span of an output sample is 0 we... approximate by
+        nearest-rate resampling of the weight mask."""
+        if w is None:
+            return jnp.ones((nchan, nuse), jnp.float32)
+        # w: [nchan_in, nweights] at input rate; output rate differs by
+        # decim = in_samples_per_out; resample by index mapping
+        nchan_in = w.shape[0]
+        in_per_out = self.block_in_samples / max(self.out_per_block, 1)
+        idx_out = jnp.arange(nuse)
+        in_idx = (idx_out * in_per_out).astype(jnp.int32) // self.config.ndat_per_weight
+        in_idx = jnp.clip(in_idx, 0, w.shape[1] - 1)
+        wch = w[:, in_idx]  # [nchan_in, nuse]
+        if nchan_in == self.obs_out.nchan:
+            return wch
+        # channelized: every output subband of input channel c shares weights
+        reps = self.obs_out.nchan // nchan_in
+        return jnp.repeat(wch, reps, axis=0)
+
+    # ---- host streaming loop (SingleThread::run equivalent) ----
+
+    def output_start_time(self, block_start_sample: int) -> MJD:
+        """MJD of output sample 0 of the block starting at the given input
+        sample (start-time shift by nfilt_pos; ``Convolution.C:300``,
+        ``Filterbank.C:369``)."""
+        t0 = self.obs_in.start_time + block_start_sample / self.obs_in.rate
+        if self.kernel is not None or self.fb_plan is not None:
+            return t0 + self.fold_plan_offset_seconds()
+        return t0
+
+    def fold_plan_offset_seconds(self) -> float:
+        nfp = (self.fb_plan.nfilt_pos if self.fb_plan is not None
+               else (self.conv_plan.nfilt_pos if self.conv_plan is not None else 0))
+        return nfp / self.obs_out.rate
+
+    def run(self, max_blocks: Optional[int] = None,
+            total_seconds: Optional[float] = None) -> FoldResult:
+        """Stream all blocks through the device step; returns the result.
+
+        total_seconds limits input consumed (reference -T).
+        """
+        src = self.source
+        nsamp_total = src.total_samples
+        if total_seconds is not None:
+            nsamp_total = min(nsamp_total, int(total_seconds * self.obs_in.rate))
+
+        start = 0
+        nblocks = 0
+        tsamp_out = 1.0 / self.obs_out.rate
+        while start + self.block_in_samples <= nsamp_total:
+            raw = src.read_samples(start, self.block_in_samples)
+            t_out0 = self.output_start_time(start)
+            nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len
+            phi0, dphi = compute_anchors(
+                self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
+            phi0 = (phi0 - self.config.reference_phase) % 1.0
+            self._maybe_divide(t_out0)
+            self._profiles, self._hits = self._step(
+                self._profiles, self._hits, jnp.asarray(raw),
+                jnp.asarray(phi0), jnp.asarray(dphi))
+            if self._first_out_time is None:
+                self._first_out_time = t_out0
+            self._last_out_time = t_out0 + nuse * tsamp_out
+            self._div_samples += nuse
+            start += self.stride_in_samples
+            nblocks += 1
+            if max_blocks is not None and nblocks >= max_blocks:
+                break
+
+        self._flush_division()
+        return self._finish()
+
+    # ---- sub-integration handling (TimeDivide/Subint equivalents) ----
+
+    def _maybe_divide(self, t_out0: MJD):
+        cfg = self.config
+        if cfg.subint_seconds <= 0 or self._first_out_time is None:
+            return
+        elapsed = t_out0 - self._first_out_time
+        div = int(elapsed / cfg.subint_seconds)
+        if div != self._current_div:
+            self._flush_division()
+            self._current_div = div
+
+    def _flush_division(self):
+        if self._div_samples == 0:
+            return
+        prof = np.asarray(self._profiles)
+        hits = np.asarray(self._hits)
+        nchan, npol = prof.shape[0], prof.shape[1]
+        self._subints.append(
+            (prof, hits,
+             self._first_out_time if not self._subints else self._last_out_time,
+             self._div_samples / self.obs_out.rate)
+        )
+        self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
+        self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        self._div_samples = 0.0
+
+    def _finish(self) -> FoldResult:
+        if not self._subints:
+            self._flush_division()
+        profs = np.stack([s[0] for s in self._subints]) if self._subints else (
+            np.zeros((0, self.obs_out.nchan, self.obs_out.npol, self.nbin)))
+        hits = np.stack([s[1] for s in self._subints]) if self._subints else (
+            np.zeros((0, self.obs_out.nchan, self.nbin)))
+        return FoldResult(
+            profiles=profs,
+            hits=hits,
+            epochs=[s[2] for s in self._subints],
+            integration_length=np.array([s[3] for s in self._subints]),
+            obs=self.obs_out,
+            nbin=self.nbin,
+            folding_period=self.folding_period,
+            dispersion_measure=self.dm,
+        )
+
+
+def load_to_fold(path: str, config: FoldConfig, **run_kw) -> FoldResult:
+    """One-call convenience: open, construct, run (the dspsr app in a line)."""
+    src = open_source(path)
+    return FoldPipeline(src, config).run(**run_kw)
