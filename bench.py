@@ -1,0 +1,99 @@
+"""Benchmark: flagship fold pipeline throughput on one chip.
+
+Reproduces the reference's headline benchmark configuration
+(``Benchmark/fold.csh`` + ``Benchmark/fold_header.dada``: 8-bit dual-pol
+real-sampled 400 MHz CASPSR baseband of J0437-4715, coherent dedispersion +
+fold) as the TPU convolving-filterbank pipeline: device-side 8-bit unpack ->
+64-channel convolving filterbank (chirp inside the big FFT) -> square-law
+detection -> 1024-bin fold.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is Msamples/s/chip of raw input samples consumed and vs_baseline is the
+real-time ratio (throughput / 800 Msamp/s, the CASPSR sampling rate) — the
+reference's own figure of merit (wall time vs real time, ``fold.csh:33-36``).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dspsr_tpu.observation import Observation, Signal
+    from dspsr_tpu.timing.mjd import MJD
+    from dspsr_tpu.io.sources import DummySource
+    from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+    from dspsr_tpu.ops.fold import compute_anchors
+
+    rate = 800e6
+    obs = Observation(
+        nchan=1, npol=2, ndim=1, nbit=8,
+        centre_frequency=1382.0, bandwidth=-400.0, rate=rate,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=Signal.NYQUIST, source="J0437-4715",
+        telescope="PKS", instrument="DUMMY",
+    )
+    obs = obs.replace(ndat=1 << 40)
+    src = DummySource(obs)
+    cfg = FoldConfig(
+        polyco_path="/root/reference/Benchmark/polyco.dat",
+        dispersion_measure=2.64,
+        nchan=64,
+        nbin=1024,
+        block_parts=8,
+        npol_out=1,
+    )
+    pipe = FoldPipeline(src, cfg)
+
+    block = pipe.block_in_samples
+    stride = pipe.stride_in_samples
+    tsamp_out = 1.0 / pipe.obs_out.rate
+    nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) * pipe.fold_plan.seg_len
+
+    # pre-generate host bytes once (we benchmark the device pipeline +
+    # host->device transfer, not synthetic byte generation)
+    raw_np = src.read_samples(0, block)
+
+    profiles = jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol, pipe.nbin),
+                         jnp.float32)
+    hits = jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32)
+
+    def anchors(iblock):
+        t0 = pipe.output_start_time(iblock * stride)
+        return compute_anchors(pipe.predictor, t0, tsamp_out, nuse,
+                               pipe.fold_plan.seg_len)
+
+    # warmup / compile
+    phi0, dphi = anchors(0)
+    for _ in range(2):
+        profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
+                                    jnp.asarray(phi0), jnp.asarray(dphi))
+    jax.block_until_ready(profiles)
+
+    nblocks = 10
+    t0 = time.perf_counter()
+    for b in range(nblocks):
+        phi0, dphi = anchors(b)
+        profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
+                                    jnp.asarray(phi0), jnp.asarray(dphi))
+    jax.block_until_ready(profiles)
+    dt = time.perf_counter() - t0
+
+    samples = nblocks * stride  # raw input samples consumed
+    msps = samples / dt / 1e6
+    realtime_ratio = samples / rate / dt
+
+    print(json.dumps({
+        "metric": "fold_pipeline_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(realtime_ratio, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

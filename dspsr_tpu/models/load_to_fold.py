@@ -30,6 +30,7 @@ from ..timing.polyco import Polyco, FixedPeriodPredictor
 from ..timing.par import Ephemeris
 from ..io.sources import Source, open_source
 from ..unpack.unpackers import UnpackPlan
+from ..ops import sc
 from ..ops.response import Response, choose_nfft
 from ..ops.dedispersion import Dedispersion
 from ..ops.convolution import OverlapSavePlan, overlap_save_convolve
@@ -225,13 +226,15 @@ class FoldPipeline:
             self.kernel = Dedispersion.build(
                 self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, ndat_fft)
             if self.fb_plan is not None:
-                self._response_natural = jnp.asarray(self.kernel.phasors)
+                rr, ri = sc.from_numpy(self.kernel.phasors)
+                self._response_natural = (jnp.asarray(rr), jnp.asarray(ri))
                 self._response_fftorder = None
             else:
                 self._response_natural = None
-                self._response_fftorder = jnp.asarray(
+                rr, ri = sc.from_numpy(
                     Response(self.kernel.phasors, nfp, nfn).fft_order(
                         complex_input=not real_input))
+                self._response_fftorder = (jnp.asarray(rr), jnp.asarray(ri))
         else:
             self.kernel = None
             self._response_natural = None
@@ -320,26 +323,44 @@ class FoldPipeline:
             profiles, hits, d[..., :nuse], weights, phi0, dphi, self.fold_plan)
 
     def _stream_weights(self, w, nchan, nuse):
-        """Map unpacker block weights onto output samples (the reference
-        convolves/scrunches weights through Filterbank/Convolution,
-        ``WeightedTimeSeries::convolve_weights``).  v1: if any input-block
-        weight in the span of an output sample is 0 we... approximate by
-        nearest-rate resampling of the weight mask."""
+        """Map unpacker block weights onto output samples.
+
+        Matches the reference's conservative semantics
+        (``WeightedTimeSeries::convolve_weights``): an output sample is bad
+        if ANY input sample of the FFT window that produced it was bad.
+        Implemented gather-free: min over each window's weight span (static
+        slices), then broadcast each window's weight over its nkeep outputs.
+        """
         if w is None:
             return jnp.ones((nchan, nuse), jnp.float32)
-        # w: [nchan_in, nweights] at input rate; output rate differs by
-        # decim = in_samples_per_out; resample by index mapping
-        nchan_in = w.shape[0]
-        in_per_out = self.block_in_samples / max(self.out_per_block, 1)
-        idx_out = jnp.arange(nuse)
-        in_idx = (idx_out * in_per_out).astype(jnp.int32) // self.config.ndat_per_weight
-        in_idx = jnp.clip(in_idx, 0, w.shape[1] - 1)
-        wch = w[:, in_idx]  # [nchan_in, nuse]
+        nchan_in, nweights = w.shape
+        npw = self.config.ndat_per_weight
+
+        if self.fb_plan is not None or self.conv_plan is not None:
+            pl = self.fb_plan if self.fb_plan is not None else self.conv_plan
+            step, nfft = pl.nsamp_step, pl.nsamp_fft
+            nkeep = pl.nkeep if self.fb_plan is not None else pl.nkeep_c
+            per_win = []
+            for p in range(self.npart):
+                a = (p * step) // npw
+                b = min((p * step + nfft + npw - 1) // npw, nweights)
+                per_win.append(jnp.min(w[:, a:b], axis=1))
+            wwin = jnp.stack(per_win, axis=1)  # [nchan_in, npart]
+            expanded = jnp.broadcast_to(
+                wwin[:, :, None], (nchan_in, self.npart, nkeep)
+            ).reshape(nchan_in, self.npart * nkeep)[:, :nuse]
+        else:
+            # no FFT stage: output sample j maps to input sample j
+            expanded = jnp.broadcast_to(
+                w[:, :, None], (nchan_in, nweights, npw)
+            ).reshape(nchan_in, nweights * npw)[:, :nuse]
+
         if nchan_in == self.obs_out.nchan:
-            return wch
-        # channelized: every output subband of input channel c shares weights
+            return expanded
         reps = self.obs_out.nchan // nchan_in
-        return jnp.repeat(wch, reps, axis=0)
+        return jnp.broadcast_to(
+            expanded[:, None, :], (nchan_in, reps, expanded.shape[-1])
+        ).reshape(nchan_in * reps, expanded.shape[-1])
 
     # ---- host streaming loop (SingleThread::run equivalent) ----
 

@@ -1,4 +1,4 @@
-"""Overlap-save FFT convolution on device.
+"""Overlap-save FFT convolution on device (MXU-native).
 
 TPU-native equivalent of the reference ``dsp::Convolution``
 (``Signal/General/Convolution.C:100-461``): each block of voltages is framed
@@ -10,23 +10,26 @@ discarded (cyclic-convolution wrap-around pollution).
 
 Where the reference loops chan x pol x part calling FFTW per window
 (``Convolution.C:389-461``), here all windows of all channels and
-polarizations are one batched XLA FFT — the layout the TPU wants.
+polarizations go through one batched MXU matmul-FFT (ops.mxfft) — complex
+data is split-complex (re, im) float32 pairs (ops.sc).
 
 Real (Nyquist) input follows the reference convention
 (``Convolution.C:170-189``): the forward FFT of ``nsamp_fft = 2*n_fft`` real
-samples yields ``n_fft`` positive-frequency bins which are treated as the
-spectrum of an *analytic* signal at half the sampling rate; output is complex
-with ``ndat_out = npart*nsamp_step/2``.
+samples yields ``n_fft`` positive-frequency bins treated as the spectrum of
+an *analytic* signal at half the sampling rate; output is complex with
+``ndat_out = npart*nsamp_step/2``.
 
-FFT normalization: jnp (forward unscaled, inverse 1/N) — a unit-gain
-convolution, so output scale == input scale (the reference instead tracks an
-``nsamp_fft*n_fft`` factor to divide out later, ``Convolution.C:303-305``).
+FFT normalization: forward unscaled, inverse 1/N (numpy convention) — unit
+convolution gain, so output scale == input scale (the reference instead
+tracks an ``nsamp_fft*n_fft`` factor to divide out later,
+``Convolution.C:303-305``).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +37,10 @@ import numpy as np
 
 from ..observation import Observation, Signal
 from .response import Response
+from . import sc
+from .mxfft import fft_sc, ifft_sc, rfft_sc
+
+SC = sc.SC
 
 
 @dataclass(frozen=True)
@@ -101,74 +108,96 @@ def frame(x: jnp.ndarray, nsamp_fft: int, nsamp_step: int, npart: int) -> jnp.nd
 
     x[..., ndat] -> [..., npart, nsamp_fft] with window p starting at
     p*nsamp_step (the overlap-save tiling; reference ``Convolution.C:389-391``).
+    Built from static strided slices (no gather on this backend).
     """
-    starts = jnp.arange(npart) * nsamp_step
-    idx = starts[:, None] + jnp.arange(nsamp_fft)[None, :]
-    return x[..., idx]
+    windows = [
+        jax.lax.slice_in_dim(x, p * nsamp_step, p * nsamp_step + nsamp_fft, axis=-1)
+        for p in range(npart)
+    ]
+    return jnp.stack(windows, axis=-2)
+
+
+def frame_sc(x: SC, nsamp_fft: int, nsamp_step: int, npart: int) -> SC:
+    return (frame(x[0], nsamp_fft, nsamp_step, npart),
+            frame(x[1], nsamp_fft, nsamp_step, npart))
+
+
+def _forward_spectra(x: Union[jnp.ndarray, SC], plan: OverlapSavePlan,
+                     npart: int) -> SC:
+    """Frame + forward FFT -> split-complex spectra [..., npart, n_fft]."""
+    if plan.real_input:
+        w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        return rfft_sc(w, plan.nsamp_fft)
+    w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
+    return fft_sc(w, plan.n_fft)
 
 
 @partial(jax.jit, static_argnames=("plan", "npart"))
 def overlap_save_convolve(
-    x: jnp.ndarray,
-    response_fft_order: jnp.ndarray,
+    x,
+    response_fft_order: SC,
     plan: OverlapSavePlan,
     npart: int,
-) -> jnp.ndarray:
+) -> SC:
     """Convolve a block with a per-channel frequency response.
 
     Args:
-      x: voltages ``[nchan, npol, ndat]``; float32 when ``plan.real_input``
-        else complex64.  ``ndat`` must equal ``plan.block_ndat(npart)``.
-      response_fft_order: ``complex64[nchan, n_fft]`` already in FFT bin
+      x: voltages — float32 ``[nchan, npol, ndat]`` when ``plan.real_input``,
+        else a split-complex pair of such arrays.
+        ``ndat`` must equal ``plan.block_ndat(npart)``.
+      response_fft_order: split-complex ``[nchan, n_fft]`` already in FFT bin
         order (see ``Response.fft_order``).
       plan, npart: static geometry.
 
-    Returns:
-      complex64 ``[nchan, npol, npart*nkeep_c]`` analytic voltages.
+    Returns split-complex ``[nchan, npol, npart*nkeep_c]`` analytic voltages.
     """
     plan.validate()
-    w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
-    # [nchan, npol, npart, nsamp_fft]
-    if plan.real_input:
-        spec = jnp.fft.rfft(w, axis=-1)[..., : plan.n_fft]
-    else:
-        spec = jnp.fft.fft(w, axis=-1)
-    spec = spec * response_fft_order[:, None, None, :]
-    t = jnp.fft.ifft(spec, axis=-1)
-    kept = t[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
-    nchan, npol = kept.shape[0], kept.shape[1]
-    return kept.reshape(nchan, npol, npart * plan.nkeep_c)
+    spec = _forward_spectra(x, plan, npart)
+    rr, ri = response_fft_order
+    spec = sc.mul(spec, (rr[:, None, None, :], ri[:, None, None, :]))
+    tr, ti = ifft_sc(spec, plan.n_fft)
+    kr = tr[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
+    ki = ti[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
+    nchan, npol = kr.shape[0], kr.shape[1]
+    out = npart * plan.nkeep_c
+    return kr.reshape(nchan, npol, out), ki.reshape(nchan, npol, out)
 
 
 @partial(jax.jit, static_argnames=("plan", "npart"))
 def overlap_save_convolve_jones(
-    x: jnp.ndarray,
-    response_fft_order: jnp.ndarray,
+    x,
+    response_fft_order: Tuple[SC, SC, SC, SC],
     plan: OverlapSavePlan,
     npart: int,
-) -> jnp.ndarray:
+) -> SC:
     """Matrix (Jones) convolution: full 2x2 polarization response
     (reference ``Convolution.C:425-436`` matrix_convolution path).
 
     Args:
-      x: ``[nchan, 2, ndat]`` voltages (complex; real input is first
-        upgraded by the caller — matrix responses imply analytic data).
-      response_fft_order: ``complex64[nchan, n_fft, 2, 2]`` Jones per bin.
+      x: ``[nchan, 2, ndat]`` voltages (float32 if real input, else SC pair).
+      response_fft_order: 2x2 of split-complex ``[nchan, n_fft]``:
+        ((J00, J01), (J10, J11)) flattened as (J00, J01, J10, J11).
 
-    Returns ``[nchan, 2, npart*nkeep_c]`` complex64.
+    Returns split-complex ``[nchan, 2, npart*nkeep_c]``.
     """
     plan.validate()
-    w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
-    if plan.real_input:
-        spec = jnp.fft.rfft(w, axis=-1)[..., : plan.n_fft]
-    else:
-        spec = jnp.fft.fft(w, axis=-1)
-    # spec: [nchan, 2, npart, n_fft]; response: [nchan, n_fft, 2, 2]
-    out = jnp.einsum("cfij,cjpf->cipf", response_fft_order, spec)
-    t = jnp.fft.ifft(out, axis=-1)
-    kept = t[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
-    nchan = kept.shape[0]
-    return kept.reshape(nchan, 2, npart * plan.nkeep_c)
+    spec = _forward_spectra(x, plan, npart)  # [nchan, 2, npart, n_fft]
+    sr, si = spec
+    p = (sr[:, 0], si[:, 0])
+    q = (sr[:, 1], si[:, 1])
+    j00, j01, j10, j11 = [
+        (r[:, None, :], i[:, None, :]) for (r, i) in response_fft_order
+    ]
+    op = sc.add(sc.mul(j00, p), sc.mul(j01, q))
+    oq = sc.add(sc.mul(j10, p), sc.mul(j11, q))
+    outr = jnp.stack([op[0], oq[0]], axis=1)
+    outi = jnp.stack([op[1], oq[1]], axis=1)
+    tr, ti = ifft_sc((outr, outi), plan.n_fft)
+    kr = tr[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
+    ki = ti[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep_c]
+    nchan = kr.shape[0]
+    out = npart * plan.nkeep_c
+    return kr.reshape(nchan, 2, out), ki.reshape(nchan, 2, out)
 
 
 def make_plan(obs: Observation, response: Response, n_fft: int | None = None) -> OverlapSavePlan:

@@ -1,4 +1,4 @@
-"""Polarization detection.
+"""Polarization detection (split-complex).
 
 Equivalent of the reference ``dsp::Detection`` (``Signal/General/Detection.C``)
 with the C kernels ``cross_detect.ic`` / ``stokes_detect.ic``:
@@ -10,11 +10,10 @@ with the C kernels ``cross_detect.ic`` / ``stokes_detect.ic``:
 - Stokes:     I=PP+QQ, Q=PP-QQ, U=2 Re[p* q], V=2 Im[p* q]
               (``stokes_detect.ic:38-43``)
 
-Input is analytic voltages ``complex64[nchan, npol, ndat]``; output is
-float32 ``[nchan, npol_out, ndat]``.  (The reference also supports ndim=2/4
-interleaved output layouts — ``Detection.C:42-66`` — which are memory-layout
-variants of the same numbers; the TPU build keeps the planar [nchan,npol,ndat]
-layout and lets XLA choose physical layout.)
+Input is split-complex analytic voltages ``(re, im)`` each
+``float32[nchan, npol, ndat]`` — or a plain real float32 array (undetected
+Nyquist data folds as v^2); output is float32 ``[nchan, npol_out, ndat]``.
+Pure VPU elementwise math; XLA fuses it into the preceding inverse FFT.
 """
 
 from __future__ import annotations
@@ -23,56 +22,53 @@ import jax
 import jax.numpy as jnp
 
 from ..observation import Signal
+from . import sc
 
 
-def _pp(x):
-    return (x.real * x.real + x.imag * x.imag).astype(jnp.float32)
+def _split(x):
+    if isinstance(x, tuple):
+        return x
+    return x, jnp.zeros_like(x)
 
 
-@jax.jit
-def detect_intensity(x: jnp.ndarray) -> jnp.ndarray:
-    """[nchan, npol, ndat] complex -> [nchan, 1, ndat] total intensity."""
-    return jnp.sum(_pp(x), axis=1, keepdims=True)
+def detect_intensity(x) -> jnp.ndarray:
+    r, i = _split(x)
+    return jnp.sum(r * r + i * i, axis=1, keepdims=True)
 
 
-@jax.jit
-def detect_ppqq(x: jnp.ndarray) -> jnp.ndarray:
-    return _pp(x)
+def detect_ppqq(x) -> jnp.ndarray:
+    r, i = _split(x)
+    return r * r + i * i
 
 
-@jax.jit
-def detect_coherence(x: jnp.ndarray) -> jnp.ndarray:
-    """[nchan, 2, ndat] complex -> [nchan, 4, ndat]: PP, QQ, Re p*q, Im p*q."""
-    p = x[:, 0]
-    q = x[:, 1]
-    pq = jnp.conj(p) * q
+def detect_coherence(x) -> jnp.ndarray:
+    """(re,im)[nchan, 2, ndat] -> [nchan, 4, ndat]: PP, QQ, Re p*q, Im p*q."""
+    r, i = _split(x)
+    pr, pi = r[:, 0], i[:, 0]
+    qr, qi = r[:, 1], i[:, 1]
+    pp = pr * pr + pi * pi
+    qq = qr * qr + qi * qi
+    rpq = pr * qr + pi * qi
+    ipq = pr * qi - pi * qr
+    return jnp.stack([pp, qq, rpq, ipq], axis=1)
+
+
+def detect_stokes(x) -> jnp.ndarray:
+    """(re,im)[nchan, 2, ndat] -> [nchan, 4, ndat]: I, Q, U, V."""
+    r, i = _split(x)
+    pr, pi = r[:, 0], i[:, 0]
+    qr, qi = r[:, 1], i[:, 1]
+    pp = pr * pr + pi * pi
+    qq = qr * qr + qi * qi
     return jnp.stack(
-        [_pp(p[:, None])[:, 0], _pp(q[:, None])[:, 0],
-         pq.real.astype(jnp.float32), pq.imag.astype(jnp.float32)],
+        [pp + qq, pp - qq,
+         2.0 * (pr * qr + pi * qi),
+         2.0 * (pr * qi - pi * qr)],
         axis=1,
     )
 
 
-@jax.jit
-def detect_stokes(x: jnp.ndarray) -> jnp.ndarray:
-    """[nchan, 2, ndat] complex -> [nchan, 4, ndat]: I, Q, U, V."""
-    p = x[:, 0]
-    q = x[:, 1]
-    pp = p.real * p.real + p.imag * p.imag
-    qq = q.real * q.real + q.imag * q.imag
-    pq = jnp.conj(p) * q
-    return jnp.stack(
-        [
-            (pp + qq).astype(jnp.float32),
-            (pp - qq).astype(jnp.float32),
-            (2.0 * pq.real).astype(jnp.float32),
-            (2.0 * pq.imag).astype(jnp.float32),
-        ],
-        axis=1,
-    )
-
-
-def detect(x: jnp.ndarray, state: Signal) -> jnp.ndarray:
+def detect(x, state: Signal) -> jnp.ndarray:
     """Dispatch on the requested output state (``Detection::set_output_state``,
     ``Detection.C:42-66``)."""
     if state == Signal.INTENSITY:
@@ -80,9 +76,11 @@ def detect(x: jnp.ndarray, state: Signal) -> jnp.ndarray:
     if state == Signal.PPQQ:
         return detect_ppqq(x)
     if state == Signal.PP:
-        return _pp(x[:, 0:1])
+        r, i = _split(x)
+        return (r * r + i * i)[:, 0:1]
     if state == Signal.QQ:
-        return _pp(x[:, 1:2])
+        r, i = _split(x)
+        return (r * r + i * i)[:, 1:2]
     if state == Signal.COHERENCE:
         return detect_coherence(x)
     if state == Signal.STOKES:

@@ -1,5 +1,5 @@
 """Software filterbank: FFT channelization with optional simultaneous
-coherent dedispersion (the "convolving filterbank").
+coherent dedispersion (the "convolving filterbank") — MXU-native.
 
 Equivalent of the reference ``dsp::Filterbank``
 (``Signal/General/Filterbank.C``): each window of ``nsamp_fft`` input samples
@@ -12,15 +12,15 @@ subband time series at rate ``rate * freq_res / nsamp_fft``, keeping
 the output samples (critically-sampled filterbank, ``Filterbank.C:625-637``).
 
 Where the reference loops chan x part x pol x subchannel through FFTW
-(``Filterbank.C:563-655``), here both FFTs are single batched XLA ops — the
-second one is a batch of ``npart*nchan_subband`` small FFTs, exactly the
-shape TPU/XLA likes.
+(``Filterbank.C:563-655``), here both FFTs are batched MXU matmul-FFTs
+(ops.mxfft) over split-complex (re, im) pairs; the per-subband inverse FFT
+batch (npart x nchan_subband small transforms) is exactly the shape the
+matrix unit likes.
 
-Channel ordering: outputs are produced in **natural order** — output channel
-index c ascends in the sign direction of the bandwidth, i.e. channel c has
-centre frequency ``obs.centre_frequency_of(c)`` — by rolling the spectrum
-chunks; the reference instead leaves FFT order and sets swap metadata flags
-(``Filterbank.C:357-364``).
+Channel ordering: outputs are in **natural order** — output channel c has
+centre frequency ``obs.centre_frequency_of(c)`` — via an fftshift expressed
+as a static two-slice concat; the reference instead leaves FFT order and
+sets swap metadata flags (``Filterbank.C:357-364``).
 """
 
 from __future__ import annotations
@@ -34,8 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..observation import Observation, Signal
-from .convolution import frame
-from .response import Response
+from .convolution import frame, frame_sc
+from . import sc
+from .mxfft import fft_sc, ifft_sc, rfft_sc, fftshift_sc, ifftshift_sc
+
+SC = sc.SC
 
 
 @dataclass(frozen=True)
@@ -96,74 +99,70 @@ class FilterbankPlan:
             raise ValueError("nchan_subband must be >= 1")
 
 
-def _natural_roll(spec: jnp.ndarray, plan: FilterbankPlan) -> jnp.ndarray:
-    """Reorder forward-FFT bins to natural (band-edge-first) order.
-
-    For real input, rfft bins already ascend from the band edge.  For complex
-    dual-sideband input, bin 0 is the band centre, so roll by n_fft/2
-    (equivalent of the reference response doswap — applied to the data here
-    because the data, not the response, must come out ordered).
-    """
-    if plan.real_input:
-        return spec
-    return jnp.roll(spec, plan.n_fft // 2, axis=-1)
-
-
 @partial(jax.jit, static_argnames=("plan", "npart"))
 def filterbank_block(
-    x: jnp.ndarray,
+    x,
     plan: FilterbankPlan,
     npart: int,
-    response_natural: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+    response_natural: Optional[SC] = None,
+) -> SC:
     """Channelize a block (optionally convolving a response).
 
     Args:
-      x: ``[nchan_in, npol, ndat]`` voltages (float32 if real, complex64
-        otherwise), ``ndat == plan.block_ndat(npart)``.
-      response_natural: optional ``complex64[nchan_in*nchan_subband, freq_res]``
-        per-output-channel response in natural order ("convolve during",
-        reference ``FilterbankConfig convolve_when==During``).
+      x: ``[nchan_in, npol, ndat]`` voltages — float32 if real input, else a
+        split-complex pair; ``ndat == plan.block_ndat(npart)``.
+      response_natural: optional split-complex
+        ``[nchan_in*nchan_subband, freq_res]`` per-output-channel response in
+        natural order ("convolve during", reference ``FilterbankConfig``
+        convolve_when==During).
 
-    Returns ``complex64[nchan_in*nchan_subband, npol, npart*nkeep]`` in
+    Returns split-complex ``[nchan_in*nchan_subband, npol, npart*nkeep]`` in
     natural channel order.
     """
     plan.validate()
-    nchan_in, npol = x.shape[0], x.shape[1]
-    w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
-    # [nchan_in, npol, npart, nsamp_fft]
     if plan.real_input:
-        spec = jnp.fft.rfft(w, axis=-1)[..., : plan.n_fft]
+        nchan_in, npol = x.shape[0], x.shape[1]
+        w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        spec = rfft_sc(w, plan.nsamp_fft)  # natural order already
     else:
-        spec = jnp.fft.fft(w, axis=-1)
-    spec = _natural_roll(spec, plan)
+        nchan_in, npol = x[0].shape[0], x[0].shape[1]
+        w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        spec = fftshift_sc(fft_sc(w, plan.n_fft))  # DC-centred -> natural
 
-    # split into subband chunks: [nchan_in, npol, npart, nchan_subband, freq_res]
-    spec = spec.reshape(nchan_in, npol, npart, plan.nchan_subband, plan.freq_res)
+    # split into subband chunks:
+    # [nchan_in, npol, npart, nchan_subband, freq_res]
+    def chunk(a):
+        return a.reshape(nchan_in, npol, npart, plan.nchan_subband, plan.freq_res)
+
+    spec = (chunk(spec[0]), chunk(spec[1]))
 
     if response_natural is not None:
-        resp = response_natural.reshape(nchan_in, plan.nchan_subband, plan.freq_res)
-        spec = spec * resp[:, None, None, :, :]
+        rr = response_natural[0].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
+        ri = response_natural[1].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
+        spec = sc.mul(spec, (rr[:, None, None, :, :], ri[:, None, None, :, :]))
 
     if plan.freq_res == 1:
-        sub = spec[..., 0]  # [nchan_in, npol, npart, nchan_subband]
-        out = jnp.moveaxis(sub, 3, 1)  # [nchan_in, nchan_subband, npol, npart]
-        return out.reshape(nchan_in * plan.nchan_subband, npol, npart)
+        subr = spec[0][..., 0]  # [nchan_in, npol, npart, nchan_subband]
+        subi = spec[1][..., 0]
+        outr = jnp.moveaxis(subr, 3, 1).reshape(
+            nchan_in * plan.nchan_subband, npol, npart)
+        outi = jnp.moveaxis(subi, 3, 1).reshape(
+            nchan_in * plan.nchan_subband, npol, npart)
+        return outr, outi
 
-    # inverse FFT each subband chunk back to the time domain.
-    # Chunk bin k is an offset from the subband's *lower edge*; a complex
-    # baseband subband has its centre at DC, so ifftshift within the chunk
-    # before the inverse FFT (this makes the subband's own spectrum natural,
-    # i.e. the output is ordinary complex baseband = dual-sideband).
-    chunks = jnp.fft.ifftshift(spec, axes=-1)
-    t = jnp.fft.ifft(chunks, axis=-1)
-    kept = t[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep]
-    # [nchan_in, npol, npart, nchan_subband, nkeep] ->
-    # [nchan_in, nchan_subband, npol, npart*nkeep]
-    kept = jnp.moveaxis(kept, 3, 1).reshape(
-        nchan_in, plan.nchan_subband, npol, npart * plan.nkeep
-    )
-    return kept.reshape(nchan_in * plan.nchan_subband, npol, npart * plan.nkeep)
+    # inverse FFT each subband chunk back to the time domain.  Chunk bin k
+    # ascends from the subband's lower edge; ifftshift puts the subband
+    # centre at DC so the output is ordinary complex baseband (dual sideband).
+    chunks = ifftshift_sc(spec)
+    tr, ti = ifft_sc(chunks, plan.freq_res)
+
+    def keep(a):
+        k = a[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep]
+        k = jnp.moveaxis(k, 3, 1)
+        # [nchan_in, nchan_subband, npol, npart, nkeep]
+        return k.reshape(nchan_in * plan.nchan_subband, npol, npart * plan.nkeep)
+
+    return keep(tr), keep(ti)
 
 
 def update_observation(obs: Observation, plan: FilterbankPlan) -> Observation:

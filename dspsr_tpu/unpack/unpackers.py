@@ -1,19 +1,24 @@
-"""Device-side n-bit unpacking kernels.
+"""Device-side n-bit unpacking kernels (gather-free).
 
 Equivalent of the reference Unpacker hierarchy
 (``Kernel/Classes/dsp/Unpacker.h``, ``BitUnpacker.C``, ``EightBitUnpacker.C``,
 ``FloatUnpacker.C``, ``TwoBitCorrection.C``): convert packed telescope bytes
 into float32 voltages on device.  Where the reference unpacks on the CPU with
 per-byte lookup tables (or ``GenericEightBitUnpackerCUDA.cu`` on GPU), here
-the byte stream is shipped to the TPU raw (minimum PCIe/ICI bytes — e.g. 4x
-fewer than shipping float32 for 8-bit data) and expanded with vectorized
-shifts + table gathers inside the same jit program as the DSP chain, so XLA
-fuses unpacking into the pipeline's first stage.
+the byte stream is shipped to the TPU raw (4x fewer PCIe bytes than float32
+for 8-bit data) and expanded inside the same jit program as the DSP chain.
+
+This TPU backend has no gather, so lookups are expressed as:
+- **arithmetic** for the uniform level tables (value = (code - mid) * step —
+  exactly what BitTable's uniform levels reduce to), and
+- **one-hot matmuls** for genuinely tabular lookups (JA98 dynamic levels
+  indexed by per-block nlow counts) — tiny matrices, MXU-friendly.
 
 Layout: input is the raw byte stream of one block in **TFP order** (the DADA
 convention: time-major, then chan, pol, dim — ``ASCIIObservation.C``); output
-is FPT ``[nchan, npol, ndat]`` float32 (real) or complex64 (ndim=2), matching
-the reference's ``TimeSeries::OrderFPT`` (``TimeSeries.h:29-37``).
+is FPT ``[nchan, npol, ndat]`` float32, as a split-complex (re, im) pair when
+ndim == 2, matching the reference's ``TimeSeries::OrderFPT``
+(``TimeSeries.h:29-37``).
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..observation import Observation, Signal
-from .bittable import BitTable, CodeType
+from .bittable import BitTable, CodeType, optimal_spacing
 from .twobit import TwoBitCorrection
 
 
@@ -50,9 +55,24 @@ def bytes_to_codes(raw: jnp.ndarray, nbit: int, msb_first: bool = True) -> jnp.n
     return codes.reshape(-1)
 
 
+def onehot_lookup(table: jnp.ndarray, codes: jnp.ndarray, n: int) -> jnp.ndarray:
+    """table[codes] as a one-hot matmul (no gather on this backend).
+
+    codes: int32[...]; table: float32[n].
+    """
+    shape = codes.shape
+    flat = codes.reshape(-1, 1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    onehot = (flat == ids).astype(jnp.float32)
+    vals = jnp.matmul(onehot, table.reshape(n, 1),
+                      preferred_element_type=jnp.float32)
+    return vals.reshape(shape)
+
+
 @partial(jax.jit, static_argnames=("nchan", "npol", "ndim"))
 def tfp_to_fpt(samples: jnp.ndarray, nchan: int, npol: int, ndim: int):
-    """Reorder flat TFP samples to FPT [nchan, npol, ndat] (complex if ndim=2).
+    """Reorder flat TFP samples to FPT [nchan, npol, ndat]; split-complex
+    (re, im) pair when ndim == 2.
 
     samples: float32[ndat*nchan*npol*ndim] in (t, chan, pol, dim) order.
     """
@@ -60,27 +80,44 @@ def tfp_to_fpt(samples: jnp.ndarray, nchan: int, npol: int, ndim: int):
     x = samples.reshape(ndat, nchan, npol, ndim)
     x = jnp.transpose(x, (1, 2, 0, 3))  # [nchan, npol, ndat, ndim]
     if ndim == 2:
-        return jax.lax.complex(x[..., 0], x[..., 1])
+        return x[..., 0], x[..., 1]
     return x[..., 0]
 
 
-@partial(jax.jit, static_argnames=("nbit", "nchan", "npol", "ndim", "msb_first"))
+def _uniform_levels(codes: jnp.ndarray, nbit: int, twos_complement: bool) -> jnp.ndarray:
+    """Arithmetic form of the BitTable uniform level map
+    (``BitTable.C:165-218``): ascending level index -> (idx - mid) * step,
+    variance-normalized; twos-complement codes wrap the index."""
+    n = 1 << nbit
+    table = BitTable(nbit, CodeType.TWOS_COMPLEMENT if twos_complement
+                     else CodeType.OFFSET_BINARY)
+    asc = np.sort(table.values.astype(np.float64))
+    # full-range estimate keeps the f32 step error from amplifying by n
+    step = float((asc[-1] - asc[0]) / (n - 1)) if n > 1 else 2.0
+    lo = float(asc[0])
+    idx = codes
+    if twos_complement:
+        idx = jnp.where(codes >= n // 2, codes - n // 2, codes + n // 2)
+    return idx.astype(jnp.float32) * step + lo
+
+
+@partial(jax.jit, static_argnames=("nbit", "nchan", "npol", "ndim",
+                                   "msb_first", "twos_complement"))
 def unpack_fixed(
     raw: jnp.ndarray,
-    table: jnp.ndarray,
     nbit: int,
     nchan: int,
     npol: int,
     ndim: int,
     msb_first: bool = True,
+    twos_complement: bool = False,
 ):
-    """Fixed-level table unpack (reference ``BitUnpacker::unpack``).
+    """Fixed-level unpack (reference ``BitUnpacker::unpack``).
 
-    raw: uint8[nbytes]; table: float32[2^nbit] level lookup.
-    Returns FPT float32/complex64.
+    raw: uint8[nbytes].  Returns FPT float32 (or split-complex pair).
     """
     codes = bytes_to_codes(raw, nbit, msb_first)
-    vals = table[codes]
+    vals = _uniform_levels(codes, nbit, twos_complement)
     return tfp_to_fpt(vals, nchan, npol, ndim)
 
 
@@ -89,6 +126,13 @@ def unpack_float32(raw: jnp.ndarray, nchan: int = 1, npol: int = 1, ndim: int = 
     """FloatUnpacker equivalent (re-ingest of dumped float TimeSeries)."""
     vals = jax.lax.bitcast_convert_type(raw.reshape(-1, 4), jnp.float32).reshape(-1)
     return tfp_to_fpt(vals, nchan, npol, ndim)
+
+
+def _repeat_last(a: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Repeat each element of the last axis ``factor`` times
+    (broadcast+reshape; no gather)."""
+    expanded = jnp.broadcast_to(a[..., None], (*a.shape, factor))
+    return expanded.reshape(*a.shape[:-1], a.shape[-1] * factor)
 
 
 @partial(
@@ -111,20 +155,19 @@ def unpack_twobit_dynamic(
     Equivalent of ``TwoBitCorrection::dig_unpack`` + ``ExcisionUnpacker``
     (``Kernel/Classes/TwoBitCorrection.C``, ``excision_unpack.h``): per
     digitizer stream (chan,pol,dim) and per block of ``ndat_per_weight``
-    samples, count the low-voltage states, gather the JA98 output levels for
-    that count, and flag blocks with anomalous counts.
+    samples, count the low-voltage states, look up the JA98 output levels for
+    that count (one-hot matmul), and flag blocks with anomalous counts.
 
     Codes (offset binary, 2-bit): 0,3 = outer (hi) negative/positive;
     1,2 = inner (lo) negative/positive (reference ``TwoBitTable``).
 
-    Returns (x_fpt, weights[nchan, nweights]) where weights apply to
-    ``ndat_per_weight``-sample stretches of *every* pol of that channel
+    Returns (x_fpt, weights[nchan, nweights]); weights apply to
+    ``ndat_per_weight``-sample stretches of every pol of that channel
     (reference WeightedTimeSeries semantics).
     """
     codes = bytes_to_codes(raw, 2, msb_first)
     ndig = nchan * npol * ndim
     ndat = codes.shape[0] // ndig
-    # (t, dig) -> (dig, t): dig index = ((chan*npol)+pol)*ndim+dim
     c = codes.reshape(ndat, ndig).T  # [ndig, ndat]
 
     sign = jnp.where(c >= 2, 1.0, -1.0).astype(jnp.float32)
@@ -134,25 +177,24 @@ def unpack_twobit_dynamic(
     cb = is_low[:, : nweights * ndat_per_weight].reshape(ndig, nweights, ndat_per_weight)
     nlow = jnp.sum(cb, axis=-1).astype(jnp.int32)  # [ndig, nweights]
 
-    lo = lo_table[nlow]  # [ndig, nweights]
-    hi = hi_table[nlow]
-    w_dig = weight_table[nlow]
+    npw1 = ndat_per_weight + 1
+    lo = onehot_lookup(lo_table, nlow, npw1)
+    hi = onehot_lookup(hi_table, nlow, npw1)
+    w_dig = onehot_lookup(weight_table, nlow, npw1)
 
-    mag_lo = jnp.repeat(lo, ndat_per_weight, axis=1)
-    mag_hi = jnp.repeat(hi, ndat_per_weight, axis=1)
+    mag_lo = _repeat_last(lo, ndat_per_weight)
+    mag_hi = _repeat_last(hi, ndat_per_weight)
     islow_f = is_low[:, : nweights * ndat_per_weight]
     vals = sign[:, : nweights * ndat_per_weight] * jnp.where(islow_f, mag_lo, mag_hi)
 
     # [ndig, T] -> FPT
     x = vals.reshape(nchan, npol, ndim, nweights * ndat_per_weight)
     if ndim == 2:
-        xc = jax.lax.complex(x[:, :, 0, :], x[:, :, 1, :])
+        xc = (x[:, :, 0, :], x[:, :, 1, :])
     else:
         xc = x[:, :, 0, :]
 
-    # combine weights across the digitizers of each channel: a block is bad
-    # if any of its digitizers is bad (reference combines via per-chan/pol
-    # weights; min == logical AND here)
+    # a block is bad if any digitizer of the channel is bad (min == AND)
     w = jnp.min(w_dig.reshape(nchan, npol * ndim, nweights), axis=1)
     return xc, w
 
@@ -162,7 +204,8 @@ def digitizer_histogram(raw: jnp.ndarray, nbit: int, hist_size: int = 0) -> jnp.
     """Histogram of sample codes (reference ``HistUnpacker``)."""
     codes = bytes_to_codes(raw, nbit)
     n = hist_size or (1 << nbit)
-    onehot = (codes[:, None] == jnp.arange(n)[None, :]).astype(jnp.int32)
+    onehot = (codes[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, n), 1)).astype(jnp.int32)
     return jnp.sum(onehot, axis=0)
 
 
@@ -178,14 +221,7 @@ class UnpackPlan:
 
     def __post_init__(self):
         nbit = self.obs.nbit
-        if nbit in (1, 2, 4, 8):
-            self.table = BitTable(
-                nbit,
-                CodeType.TWOS_COMPLEMENT if self.twos_complement else CodeType.OFFSET_BINARY,
-            )
-        elif nbit == 32:
-            self.table = None
-        else:
+        if nbit not in (1, 2, 4, 8, 32):
             raise ValueError(f"unsupported NBIT={nbit}")
         if nbit == 2 and self.dynamic_twobit:
             self.twobit = TwoBitCorrection(self.ndat_per_weight, self.cutoff_sigma)
@@ -196,7 +232,7 @@ class UnpackPlan:
         return self.obs.nbytes_per_sample
 
     def unpack(self, raw: jnp.ndarray):
-        """Returns (x_fpt, weights or None)."""
+        """Returns (x_fpt [real or split-complex], weights or None)."""
         o = self.obs
         if o.nbit == 32:
             return unpack_float32(raw, o.nchan, o.npol, o.ndim), None
@@ -211,7 +247,6 @@ class UnpackPlan:
                 o.ndim,
                 self.ndat_per_weight,
             )
-        x = unpack_fixed(
-            raw, jnp.asarray(self.table.values), o.nbit, o.nchan, o.npol, o.ndim
-        )
+        x = unpack_fixed(raw, o.nbit, o.nchan, o.npol, o.ndim,
+                         twos_complement=self.twos_complement)
         return x, None

@@ -19,6 +19,7 @@ from dspsr_tpu.ops.dedispersion import (
     DM_DISPERSION,
 )
 from dspsr_tpu.ops.convolution import OverlapSavePlan, overlap_save_convolve, frame
+from scutil import sc_of, c_of
 
 
 def direct_convolve(x: np.ndarray, response_natural: np.ndarray,
@@ -100,9 +101,8 @@ class TestOverlapSaveIdentity:
             (nchan, nfilt_neg)) + 1j * rng.standard_normal((nchan, nfilt_neg))
         resp_fft_order = np.fft.fft(h, axis=1)
 
-        y = np.asarray(overlap_save_convolve(
-            jnp.asarray(x), jnp.asarray(resp_fft_order.astype(np.complex64)),
-            plan, npart))
+        y = c_of(overlap_save_convolve(
+            sc_of(x), sc_of(resp_fft_order), plan, npart))
 
         # direct linear convolution ground truth, float64
         x64 = x.astype(np.complex128)
@@ -140,16 +140,16 @@ class TestOverlapSaveIdentity:
         x = (rng.standard_normal((1, 2, ndat))
              + 1j * rng.standard_normal((1, 2, ndat))).astype(np.complex64)
         resp = np.exp(1j * rng.uniform(-np.pi, np.pi, (1, n_fft))).astype(np.complex64)
-        rf = jnp.asarray(np.fft.ifftshift(resp, axes=1))
+        rf = sc_of(np.fft.ifftshift(resp, axes=1))
 
-        y_full = np.asarray(overlap_save_convolve(jnp.asarray(x), rf, plan, npart))
+        y_full = c_of(overlap_save_convolve(sc_of(x), rf, plan, npart))
 
         # stream in two chunks of 3 parts each; chunk 2 starts nsamp_step*3 in
         y_parts = []
         for c in range(2):
             start = c * 3 * plan.nsamp_step
             xb = x[..., start : start + plan.block_ndat(3)]
-            y_parts.append(np.asarray(overlap_save_convolve(jnp.asarray(xb), rf, plan, 3)))
+            y_parts.append(c_of(overlap_save_convolve(sc_of(xb), rf, plan, 3)))
         y_stream = np.concatenate(y_parts, axis=-1)
         np.testing.assert_array_equal(y_full, y_stream)
 
@@ -168,7 +168,7 @@ class TestOverlapSaveIdentity:
         t = np.arange(ndat)
         x = np.cos(2 * np.pi * k / plan.nsamp_fft * t).astype(np.float32)[None, None, :]
         resp = np.ones((1, n_fft), dtype=np.complex64)
-        y = np.asarray(overlap_save_convolve(jnp.asarray(x), jnp.asarray(resp), plan, npart))
+        y = c_of(overlap_save_convolve(jnp.asarray(x), sc_of(resp), plan, npart))
         assert y.shape == (1, 1, npart * n_fft)
         # analytic-signal convention: A*cos -> A*exp(j phi) (rfft bin k
         # holds A*nsamp_fft/2 = A*n_fft; ifft divides by n_fft)
@@ -236,9 +236,9 @@ class TestDedispersion:
             x.astype(np.complex128), np.conj(ded_fine.phasors.astype(np.complex128)), True
         ).astype(np.complex64)
 
-        y = np.asarray(overlap_save_convolve(
-            jnp.asarray(disp_full),
-            jnp.asarray(Response(ded.phasors, nfp, nfn).fft_order(True)),
+        y = c_of(overlap_save_convolve(
+            sc_of(disp_full),
+            sc_of(Response(ded.phasors, nfp, nfn).fft_order(True)),
             plan, npart))
 
         # compare the interior: output sample j of window p maps to input

@@ -20,6 +20,7 @@ from dspsr_tpu.ops.dedispersion import Dedispersion
 from dspsr_tpu.ops.convolution import OverlapSavePlan, overlap_save_convolve
 from dspsr_tpu.ops.response import Response
 from dspsr_tpu.ops import detection
+from scutil import sc_of, c_of
 
 
 def tone_complex(ndat, freq_cycles_per_sample, phase=0.0):
@@ -62,7 +63,7 @@ class TestTonePlacement:
         for c in [0, 3, 7]:
             f = -0.5 + (c + 0.5) / nchan_sub
             x = tone_complex(ndat, f).astype(np.complex64)[None, None, :]
-            y = np.asarray(filterbank_block(jnp.asarray(x), plan, npart))
+            y = c_of(filterbank_block(sc_of(x), plan, npart))
             assert y.shape == (nchan_sub, 1, npart * freq_res)
             power = np.mean(np.abs(y) ** 2, axis=(1, 2))
             assert power.argmax() == c, (c, power)
@@ -81,7 +82,7 @@ class TestTonePlacement:
         df = 5 / (nchan_sub * freq_res)
         f = -0.5 + (c + 0.5) / nchan_sub + df
         x = tone_complex(ndat, f).astype(np.complex64)[None, None, :]
-        y = np.asarray(filterbank_block(jnp.asarray(x), plan, npart))
+        y = c_of(filterbank_block(sc_of(x), plan, npart))
         sub = y[c, 0, :freq_res]  # one window worth
         spec = np.fft.fftshift(np.fft.fft(sub))
         assert np.abs(spec).argmax() == freq_res // 2 + 5
@@ -95,7 +96,7 @@ class TestTonePlacement:
         ndat = plan.block_ndat(npart)
         k = 2 * freq_res + 7  # channel 2, bin 7
         x = np.cos(2 * np.pi * k / plan.nsamp_fft * np.arange(ndat)).astype(np.float32)
-        y = np.asarray(filterbank_block(jnp.asarray(x[None, None, :]), plan, npart))
+        y = c_of(filterbank_block(jnp.asarray(x[None, None, :]), plan, npart))
         power = np.mean(np.abs(y) ** 2, axis=(1, 2))
         assert power.argmax() == 2
 
@@ -108,7 +109,7 @@ class TestTonePlacement:
         c = 5
         f = -0.5 + (c + 0.5) / nchan_sub
         x = tone_complex(ndat, f).astype(np.complex64)[None, None, :]
-        y = np.asarray(filterbank_block(jnp.asarray(x), plan, npart))
+        y = c_of(filterbank_block(sc_of(x), plan, npart))
         assert y.shape == (nchan_sub, 1, npart)
         power = np.mean(np.abs(y) ** 2, axis=(1, 2))
         assert power.argmax() == c
@@ -121,12 +122,12 @@ class TestBlockInvariance:
         ndat = plan.block_ndat(npart)
         x = (rng.standard_normal((1, 2, ndat))
              + 1j * rng.standard_normal((1, 2, ndat))).astype(np.complex64)
-        y_full = np.asarray(filterbank_block(jnp.asarray(x), plan, npart))
+        y_full = c_of(filterbank_block(sc_of(x), plan, npart))
         parts = []
         for cidx in range(3):
             start = cidx * 2 * plan.nsamp_step
             xb = x[..., start : start + plan.block_ndat(2)]
-            parts.append(np.asarray(filterbank_block(jnp.asarray(xb), plan, 2)))
+            parts.append(c_of(filterbank_block(sc_of(xb), plan, 2)))
         np.testing.assert_array_equal(y_full, np.concatenate(parts, axis=-1))
 
 
@@ -147,20 +148,20 @@ class TestConvolvingFilterbank:
         x = (rng.standard_normal((1, 1, ndat))
              + 1j * rng.standard_normal((1, 1, ndat))).astype(np.complex64)
 
-        y_during = np.asarray(filterbank_block(
-            jnp.asarray(x), plan_during, npart,
-            response_natural=jnp.asarray(ded.phasors)))
+        y_during = c_of(filterbank_block(
+            sc_of(x), plan_during, npart,
+            response_natural=sc_of(ded.phasors)))
 
         # after: plain filterbank with no discard, then overlap-save per channel
         plan_fb = FilterbankPlan(False, nchan_sub, freq_res)
         npart_fb = plan_fb.npart(ndat)
-        y_fb = np.asarray(filterbank_block(jnp.asarray(x), plan_fb, npart_fb))
+        y_fb = c_of(filterbank_block(sc_of(x), plan_fb, npart_fb))
         plan_conv = OverlapSavePlan(False, freq_res, nfp, nfn)
         resp = Response(ded.phasors, nfp, nfn)
         npart_conv = plan_conv.npart(y_fb.shape[-1])
-        y_after = np.asarray(overlap_save_convolve(
-            jnp.asarray(y_fb[:, :, : plan_conv.block_ndat(npart_conv)]),
-            jnp.asarray(resp.fft_order(complex_input=True)),
+        y_after = c_of(overlap_save_convolve(
+            sc_of(y_fb[:, :, : plan_conv.block_ndat(npart_conv)]),
+            sc_of(resp.fft_order(complex_input=True)),
             plan_conv, npart_conv))
 
         # the two paths window the stream differently; compare a common
@@ -187,7 +188,7 @@ class TestDetection:
     def test_stokes_formulas(self, rng):
         x = (rng.standard_normal((2, 2, 64))
              + 1j * rng.standard_normal((2, 2, 64))).astype(np.complex64)
-        s = np.asarray(detection.detect_stokes(jnp.asarray(x)))
+        s = np.asarray(detection.detect_stokes(sc_of(x)))
         p, q = x[:, 0], x[:, 1]
         pp = np.abs(p) ** 2
         qq = np.abs(q) ** 2
@@ -200,7 +201,7 @@ class TestDetection:
     def test_coherence_formulas(self, rng):
         x = (rng.standard_normal((1, 2, 32))
              + 1j * rng.standard_normal((1, 2, 32))).astype(np.complex64)
-        s = np.asarray(detection.detect_coherence(jnp.asarray(x)))
+        s = np.asarray(detection.detect_coherence(sc_of(x)))
         p, q = x[:, 0], x[:, 1]
         np.testing.assert_allclose(s[:, 0], np.abs(p) ** 2, rtol=1e-5)
         np.testing.assert_allclose(s[:, 1], np.abs(q) ** 2, rtol=1e-5)
@@ -211,8 +212,8 @@ class TestDetection:
         """I = PP+QQ, Q = PP-QQ, U = 2 Re, V = 2 Im (dsp::Detection docs)."""
         x = (rng.standard_normal((1, 2, 16))
              + 1j * rng.standard_normal((1, 2, 16))).astype(np.complex64)
-        s = np.asarray(detection.detect_stokes(jnp.asarray(x)))
-        c = np.asarray(detection.detect_coherence(jnp.asarray(x)))
+        s = np.asarray(detection.detect_stokes(sc_of(x)))
+        c = np.asarray(detection.detect_coherence(sc_of(x)))
         np.testing.assert_allclose(s[:, 0], c[:, 0] + c[:, 1], rtol=1e-5)
         np.testing.assert_allclose(s[:, 1], c[:, 0] - c[:, 1], rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(s[:, 2], 2 * c[:, 2], rtol=1e-5, atol=1e-5)
@@ -221,8 +222,8 @@ class TestDetection:
     def test_intensity_and_ppqq(self, rng):
         x = (rng.standard_normal((2, 2, 16))
              + 1j * rng.standard_normal((2, 2, 16))).astype(np.complex64)
-        ii = np.asarray(detection.detect(jnp.asarray(x), Signal.INTENSITY))
-        ppqq = np.asarray(detection.detect(jnp.asarray(x), Signal.PPQQ))
+        ii = np.asarray(detection.detect(sc_of(x), Signal.INTENSITY))
+        ppqq = np.asarray(detection.detect(sc_of(x), Signal.PPQQ))
         assert ii.shape == (2, 1, 16)
         assert ppqq.shape == (2, 2, 16)
         np.testing.assert_allclose(ii[:, 0], ppqq.sum(axis=1), rtol=1e-5)

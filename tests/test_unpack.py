@@ -76,16 +76,36 @@ class TestBytesToCodes:
 
 class TestUnpackFixed:
     def test_8bit_roundtrip_ordering(self, rng):
-        """TFP bytes -> FPT floats preserves sample identity."""
+        """TFP bytes -> FPT floats preserves sample identity.
+
+        Uniform level map is affine in the code, so ordering can be checked
+        by inverting the affine map.
+        """
+        from dspsr_tpu.unpack.bittable import BitTable
+
         nchan, npol, ndim, ndat = 2, 2, 2, 16
         vals = rng.integers(0, 256, ndat * nchan * npol * ndim).astype(np.uint8)
-        table = jnp.arange(256, dtype=jnp.float32)  # identity levels
-        x = unpack_fixed(jnp.asarray(vals), table, 8, nchan, npol, ndim)
-        assert x.shape == (nchan, npol, ndat)
+        xr, xi = unpack_fixed(jnp.asarray(vals), 8, nchan, npol, ndim)
+        assert xr.shape == (nchan, npol, ndat)
+        t = BitTable(8).values
         v = vals.reshape(ndat, nchan, npol, ndim)
-        expect = v[..., 0] + 1j * v[..., 1]
-        np.testing.assert_allclose(
-            np.asarray(x), expect.transpose(1, 2, 0).astype(np.complex64))
+        np.testing.assert_allclose(np.asarray(xr),
+                                   t[v[..., 0]].transpose(1, 2, 0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(xi),
+                                   t[v[..., 1]].transpose(1, 2, 0), rtol=1e-5)
+
+    def test_matches_bittable(self, rng):
+        """Arithmetic unpack == BitTable lookup for all codes, both types."""
+        from dspsr_tpu.unpack.bittable import BitTable, CodeType
+        from dspsr_tpu.unpack.unpackers import _uniform_levels
+
+        for nbit in (1, 2, 4, 8):
+            codes = np.arange(1 << nbit, dtype=np.int32)
+            for twos, ct in [(False, CodeType.OFFSET_BINARY),
+                             (True, CodeType.TWOS_COMPLEMENT)]:
+                got = np.asarray(_uniform_levels(jnp.asarray(codes), nbit, twos))
+                expect = BitTable(nbit, ct).values
+                np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
 
     def test_gaussian_statistics(self, rng):
         """8-bit quantized Gaussian unpacks to ~N(0, sigma^2/scale)."""
