@@ -140,10 +140,13 @@ class FilPipeline:
         self.fb_plan.validate()
 
         if cfg.dispersion_measure > 0:
+            from ..ops import sc
+
             ded = Dedispersion.build(
                 cfg.dispersion_measure, obs.centre_frequency, obs.bandwidth,
                 nchan_out, freq_res)
-            self._response_natural = jnp.asarray(ded.phasors)
+            rr, ri = sc.from_numpy(ded.phasors)
+            self._response_natural = (jnp.asarray(rr), jnp.asarray(ri))
         else:
             self._response_natural = None
 
