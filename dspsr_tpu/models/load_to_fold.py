@@ -37,6 +37,8 @@ from ..ops.convolution import OverlapSavePlan, overlap_save_convolve
 from ..ops.filterbank import FilterbankPlan, filterbank_block, update_observation
 from ..ops.detection import detect
 from ..ops.fold import FoldPlan, fold_block, compute_anchors, choose_nbin
+from ..ops.spectral_kurtosis import SKPlan, sk_mask, expand_mask
+from ..ops.detection import detect_intensity
 
 
 @dataclass
@@ -73,6 +75,13 @@ class FoldConfig:
     twos_complement: bool = False
     ndat_per_weight: int = 512
     cutoff_sigma: float = 3.0
+
+    # spectral kurtosis RFI excision (reference -skz / SKDetector config)
+    sk_enable: bool = False
+    sk_m: int = 128  # -skm: samples per SK cell
+    sk_std_devs: int = 3  # -skn
+    sk_no_tscr: bool = False  # --skz_no_tscr (SpectralKurtosis::set_options)
+    sk_no_fscr: bool = False  # --skz_no_fscr
 
     def detection_state(self) -> Signal:
         return {1: Signal.INTENSITY, 2: Signal.PPQQ, 4: Signal.STOKES}[self.npol_out]
@@ -244,6 +253,13 @@ class FoldPipeline:
         self.det_state = cfg.detection_state()
         self.obs_out = self.obs_stream.apply_detection(self.det_state)
 
+        # --- spectral kurtosis (SpectralKurtosis.C; applied post-detection) -
+        self.sk_plan = SKPlan(
+            cfg.sk_m, cfg.sk_std_devs,
+            detect_tscr=not cfg.sk_no_tscr,
+            detect_fscr=not cfg.sk_no_fscr,
+        ) if cfg.sk_enable else None
+
         # --- fold plan (Fold::prepare; choose_nbin Fold.C:275-382) ---
         tsamp_out = 1.0 / self.obs_out.rate
         period = self.predictor.period(obs.start_time)
@@ -319,6 +335,19 @@ class FoldPipeline:
         ndat_out = d.shape[2]
         nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len
         weights = self._stream_weights(w, nchan, nuse)
+        if self.sk_plan is not None:
+            if isinstance(y, tuple):
+                power = y[0] * y[0] + y[1] * y[1]  # [nchan, npol, ndat] per pol
+            else:
+                power = y * y
+            nblk = ndat_out // self.sk_plan.M
+            skw = expand_mask(sk_mask(power, self.sk_plan, nblk), self.sk_plan.M)
+            pad = ndat_out - skw.shape[-1]
+            if pad > 0:
+                # trailing partial SK cell keeps weight 1
+                skw = jnp.concatenate(
+                    [skw, jnp.ones((nchan, pad), jnp.float32)], axis=-1)
+            weights = weights * skw[:, :nuse]
         return fold_block(
             profiles, hits, d[..., :nuse], weights, phi0, dphi, self.fold_plan)
 

@@ -1,0 +1,127 @@
+"""Spectral-kurtosis RFI excision.
+
+Equivalent of the reference ``dsp::SpectralKurtosis`` + SKComputer/SKDetector/
+SKMasker (``Signal/General/SpectralKurtosis.C``, ``SKDetector.C``,
+``SKMasker.C``; estimator after Nita & Gary 2010): for every channel and
+block of M power samples compute::
+
+    S1 = sum p_i,  S2 = sum p_i^2
+    SK = (M+1)/(M-1) * (M * S2 / S1^2 - 1)
+
+SK ~ 1 for Gaussian noise; non-Gaussian interference pushes it outside the
+Pearson-IV +/- n-sigma thresholds (utils.stats.sk_limits) and the block is
+masked (weight 0).  Three detection rounds as in the reference:
+
+- per (chan, block) cells  (``SKDetector::detect``)
+- time-scrunched: SK over the whole block span per channel
+  (``detect_tscr`` — catches persistent narrow-band RFI)
+- freq-scrunched: SK summed across channels per block
+  (``detect_fscr`` — catches broadband impulsive RFI)
+
+All device math is elementwise/reduction ops; weights multiply into the
+pipeline's existing WeightedTimeSeries-style weight stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.stats import sk_limits
+
+
+@dataclass(frozen=True)
+class SKPlan:
+    """Static SK geometry + thresholds (host side)."""
+
+    M: int  # samples per SK cell (reference -skm, typically 128)
+    std_devs: int = 3
+    detect_cell: bool = True
+    detect_tscr: bool = True
+    detect_fscr: bool = True
+
+    def thresholds(self, m: int | None = None) -> Tuple[float, float]:
+        t = sk_limits(m or self.M, self.std_devs)
+        return t.lower, t.upper
+
+
+def sk_estimate(p: jnp.ndarray, M: int) -> jnp.ndarray:
+    """SK per cell. p: float32[..., nblk, M] detected power.
+
+    Returns float32[..., nblk].
+    """
+    s1 = jnp.sum(p, axis=-1)
+    s2 = jnp.sum(p * p, axis=-1)
+    Mf = float(M)
+    return ((Mf + 1.0) / (Mf - 1.0)) * (Mf * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0)
+
+
+@partial(jax.jit, static_argnames=("plan", "nblk"))
+def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
+    """Compute the SK excision mask for one block.
+
+    Args:
+      power: float32[nchan, npol, ndat] per-polarization power |x|^2
+        (``ndat >= nblk * plan.M``) — the reference computes SK per
+        (chan, pol) on the undetected voltages' square-law power
+        (``SpectralKurtosis::compute``, ``SpectralKurtosis.C:260-341``),
+        then zaps a (chan, block) cell if ANY pol trips.
+
+    Returns weights float32[nchan, nblk]: 1 keep, 0 zap.
+    """
+    nchan, npol = power.shape[0], power.shape[1]
+    M = plan.M
+    cells = power[:, :, : nblk * M].reshape(nchan, npol, nblk, M)
+
+    w = jnp.ones((nchan, nblk), jnp.float32)
+
+    if plan.detect_cell:
+        lo, hi = plan.thresholds()
+        sk = sk_estimate(cells, M)  # [nchan, npol, nblk]
+        good = jnp.min(jnp.logical_and(sk > lo, sk < hi).astype(jnp.float32),
+                       axis=1)
+        w = w * good
+
+    if plan.detect_tscr and nblk > 1:
+        # whole-block SK per (chan, pol) (reference detect_tscr): one cell of
+        # M*nblk samples; a bad channel zaps all its blocks
+        lo_t, hi_t = plan.thresholds(M * nblk)
+        sk_t = sk_estimate(cells.reshape(nchan, npol, 1, nblk * M),
+                           M * nblk)[:, :, 0]
+        good_t = jnp.min(
+            jnp.logical_and(sk_t > lo_t, sk_t < hi_t).astype(jnp.float32),
+            axis=1)
+        w = w * good_t[:, None]
+
+    if plan.detect_fscr and nchan > 1:
+        # sum S1/S2 across channels per (pol, block) (reference detect_fscr,
+        # which pools the per-channel sums): Nd = nchan generalized estimator
+        s1 = jnp.sum(cells, axis=-1)  # [nchan, npol, nblk]
+        s2 = jnp.sum(cells * cells, axis=-1)
+        s1f = jnp.sum(s1, axis=0)  # [npol, nblk]
+        s2f = jnp.sum(s2, axis=0)
+        Mf = float(M)
+        nd = float(nchan)
+        sk_f = ((Mf * nd + 1.0) / (Mf * nd - 1.0)) * (
+            Mf * nd * s2f / jnp.maximum(s1f * s1f, 1e-30) - 1.0)
+        one_std = np.sqrt(4.0 / (M * nd))
+        lo_g = 1.0 - plan.std_devs * one_std
+        hi_g = 1.0 + plan.std_devs * one_std
+        good_f = jnp.min(
+            jnp.logical_and(sk_f > lo_g, sk_f < hi_g).astype(jnp.float32),
+            axis=0)
+        w = w * good_f[None, :]
+
+    return w
+
+
+@partial(jax.jit, static_argnames=("M",))
+def expand_mask(w: jnp.ndarray, M: int) -> jnp.ndarray:
+    """[nchan, nblk] block weights -> [nchan, nblk*M] per-sample weights."""
+    nchan, nblk = w.shape
+    return jnp.broadcast_to(w[:, :, None], (nchan, nblk, M)).reshape(nchan, nblk * M)

@@ -28,13 +28,13 @@ CF, BW = 1400.0, 4.0  # MHz
 DM = 150.0
 
 
-def synth_pulsar_dada(path, nsec=0.5, nbit=8, npol=2, dm=DM, seed=1):
+def synth_pulsar_dada(path, nsec=0.5, nbit=8, npol=2, dm=DM, seed=1, amp=8.0):
     """Write a DADA file with a dispersed pulsar in complex baseband."""
     rng = np.random.default_rng(seed)
     ndat = int(nsec * RATE)
     t = np.arange(ndat) / RATE
     phase = (t / PERIOD) % 1.0
-    env = 1.0 + 8.0 * np.exp(-0.5 * ((phase - PULSE_PHASE) / 0.02) ** 2)
+    env = 1.0 + amp * np.exp(-0.5 * ((phase - PULSE_PHASE) / 0.02) ** 2)
     x = (rng.standard_normal((npol, ndat)) + 1j * rng.standard_normal((npol, ndat)))
     x *= env[None, :]
 
