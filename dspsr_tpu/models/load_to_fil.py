@@ -52,6 +52,11 @@ class FilConfig:
     rescale_seconds: float = 0.0  # -I (0 = every block)
     rescale_constant: bool = False  # -c freeze after first block
     block_parts: int = 4
+    #: minimum input samples per device block: raises the window count so
+    #: tiny FFTs (e.g. freq_res=1) still amortize dispatch overhead
+    #: (the reference sizes blocks from a RAM budget instead,
+    #: IOManager::set_block_size, LoadToFold1.C:825-879)
+    min_block_samples: int = 1 << 20
 
     # output digitizer levels: mean at digi_mean, sigma at digi_scale counts
     # (reference SigProcDigitizer uses DIGI_MEAN/DIGI_SIGMA)
@@ -159,7 +164,10 @@ class FilPipeline:
             pass
         self.obs_out = obs_d.replace(nbit=cfg.nbits)
 
-        self.npart = cfg.block_parts
+        want = -(-cfg.min_block_samples // self.fb_plan.nsamp_step)
+        cap = self.fb_plan.npart(self.source.total_samples)
+        self.npart = max(min(want, cap), cfg.block_parts) if cap > 0 \
+            else cfg.block_parts
         self.block_in_samples = self.fb_plan.block_ndat(self.npart)
         self.stride_in_samples = self.npart * self.fb_plan.nsamp_step
         self._rescale_state = RescaleState.zeros(

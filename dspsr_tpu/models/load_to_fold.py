@@ -68,6 +68,10 @@ class FoldConfig:
 
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
+    #: minimum input samples per device block (amortizes dispatch overhead
+    #: when the FFT windows are small; the reference sizes blocks from a RAM
+    #: budget, IOManager::set_block_size, LoadToFold1.C:825-879)
+    min_block_samples: int = 1 << 20
     seg_len: int = 2048  # fold phase-anchor segment (output samples)
     max_nfft: int = 1 << 24
 
@@ -291,7 +295,17 @@ class FoldPipeline:
         if p is not None:
             self.nsamp_step = p.nsamp_step
             self.nsamp_overlap = p.nsamp_overlap
-            self.npart = cfg.block_parts
+            # grow blocks toward min_block_samples to amortize dispatch
+            # overhead, but never beyond the source (so short files still
+            # yield a full block) nor beyond a subint (so -L granularity
+            # holds at block level)
+            want = -(-cfg.min_block_samples // p.nsamp_step)
+            cap = p.npart(self.source.total_samples)
+            if cfg.subint_seconds > 0 and self.obs_in.rate > 0:
+                sub_samps = int(cfg.subint_seconds * self.obs_in.rate)
+                cap = min(cap, max(p.npart(sub_samps), 1))
+            self.npart = max(min(want, cap), cfg.block_parts) if cap > 0 \
+                else cfg.block_parts
             self.block_in_samples = p.block_ndat(self.npart)
             nkeep = p.nkeep if self.fb_plan is not None else p.nkeep_c
             out_per_block = self.npart * nkeep

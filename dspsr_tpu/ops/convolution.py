@@ -108,13 +108,31 @@ def frame(x: jnp.ndarray, nsamp_fft: int, nsamp_step: int, npart: int) -> jnp.nd
 
     x[..., ndat] -> [..., npart, nsamp_fft] with window p starting at
     p*nsamp_step (the overlap-save tiling; reference ``Convolution.C:389-391``).
-    Built from static strided slices (no gather on this backend).
+
+    Gather-free and O(k) program size: reshape to step-sized rows, then
+    concatenate k = ceil(nfft/step) shifted row views and trim — window p is
+    rows p..p+k-1 of the reshaped signal.  k == 1 (pure reshape) when there
+    is no overlap; k == 2 for the usual overlap < step case.
     """
-    windows = [
-        jax.lax.slice_in_dim(x, p * nsamp_step, p * nsamp_step + nsamp_fft, axis=-1)
-        for p in range(npart)
+    if nsamp_step == nsamp_fft:
+        head = x[..., : npart * nsamp_step]
+        return head.reshape(*x.shape[:-1], npart, nsamp_fft)
+    k = -(-nsamp_fft // nsamp_step)
+    rows_needed = npart + k - 1
+    flat_needed = rows_needed * nsamp_step
+    if x.shape[-1] < flat_needed:
+        # zero-pad the tail: padding is only ever read by shifted views past
+        # the last window's end, which the final [..., :nsamp_fft] trim drops
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, flat_needed - x.shape[-1])]
+        y = jnp.pad(x, pad)
+    else:
+        y = x[..., :flat_needed]
+    y = y.reshape(*x.shape[:-1], rows_needed, nsamp_step)
+    shifted = [
+        jax.lax.slice_in_dim(y, i, i + npart, axis=-2) for i in range(k)
     ]
-    return jnp.stack(windows, axis=-2)
+    stacked = jnp.concatenate(shifted, axis=-1)  # [..., npart, k*step]
+    return stacked[..., :nsamp_fft]
 
 
 def frame_sc(x: SC, nsamp_fft: int, nsamp_step: int, npart: int) -> SC:
