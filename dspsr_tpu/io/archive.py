@@ -38,6 +38,17 @@ def filename_epoch(result, ext: str = "npz") -> str:
 
 
 def save_archive(path: str, result: "FoldResult") -> None:
+    """Route on extension: .npz archive-lite, .sf/.fits/.rf PSRFITS
+    (reference -a archive class selection, ``Archiver.C:162``)."""
+    if path.endswith((".sf", ".fits", ".rf", ".ar")):
+        from .psrfits import save_psrfits_fold
+
+        save_psrfits_fold(path, result)
+        return
+    _save_npz(path, result)
+
+
+def _save_npz(path: str, result: "FoldResult") -> None:
     obs = result.obs
     freqs = np.array([obs.centre_frequency_of(i) for i in range(obs.nchan)])
     meta = {

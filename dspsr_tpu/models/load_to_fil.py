@@ -187,31 +187,54 @@ class FilPipeline:
         return rescale_state, packed
 
     def run(self, output_path: str, max_blocks: Optional[int] = None,
-            total_seconds: Optional[float] = None) -> Observation:
-        """Stream the whole source into a SIGPROC file."""
+            total_seconds: Optional[float] = None,
+            format: str = "sigproc") -> Observation:
+        """Stream the whole source into a SIGPROC (.fil) or PSRFITS (.sf)
+        search-mode file (digifil / digifits respectively)."""
+        if format == "sigproc":
+            writer = SigProcWriter(output_path, self.obs_out, self.config.nbits)
+        elif format == "psrfits":
+            from ..io.psrfits import PsrfitsSearchWriter
+
+            writer = PsrfitsSearchWriter(output_path, self.obs_out,
+                                         self.config.nbits)
+        else:
+            raise ValueError(f"unknown search output format {format!r}")
+        with writer as out:
+            self.run_writer(out, max_blocks=max_blocks,
+                            total_seconds=total_seconds)
+        return self.obs_out
+
+    def run_writer(self, out, max_blocks: Optional[int] = None,
+                   total_seconds: Optional[float] = None) -> None:
+        """Stream blocks through the device step into any block writer."""
         src = self.source
         nsamp_total = src.total_samples
         if total_seconds is not None:
             nsamp_total = min(nsamp_total, int(total_seconds * self.obs_in.rate))
         cfg = self.config
 
-        with SigProcWriter(output_path, self.obs_out, cfg.nbits) as out:
-            start = 0
-            nblocks = 0
-            while start + self.block_in_samples <= nsamp_total:
-                raw = src.read_samples(start, self.block_in_samples)
-                freeze = cfg.rescale_constant and self._blocks_done > 0
-                self._rescale_state, packed = self._step(
-                    self._rescale_state, jnp.asarray(raw), freeze)
-                out.write_block(np.asarray(packed))
-                start += self.stride_in_samples
-                nblocks += 1
-                self._blocks_done += 1
-                if max_blocks is not None and nblocks >= max_blocks:
-                    break
-        return self.obs_out
+        start = 0
+        nblocks = 0
+        while start + self.block_in_samples <= nsamp_total:
+            raw = src.read_samples(start, self.block_in_samples)
+            freeze = cfg.rescale_constant and self._blocks_done > 0
+            self._rescale_state, packed = self._step(
+                self._rescale_state, jnp.asarray(raw), freeze)
+            out.write_block(np.asarray(packed))
+            start += self.stride_in_samples
+            nblocks += 1
+            self._blocks_done += 1
+            if max_blocks is not None and nblocks >= max_blocks:
+                break
 
 
 def load_to_fil(path: str, output_path: str, config: FilConfig, **run_kw) -> Observation:
     src = open_source(path)
     return FilPipeline(src, config).run(output_path, **run_kw)
+
+
+def load_to_fits(path: str, output_path: str, config: FilConfig, **run_kw) -> Observation:
+    """digifits equivalent (reference ``Signal/General/digifits.C``)."""
+    src = open_source(path)
+    return FilPipeline(src, config).run(output_path, format="psrfits", **run_kw)

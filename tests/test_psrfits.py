@@ -1,0 +1,106 @@
+"""PSRFITS writer tests: FITS structure validity + data round trips."""
+
+import numpy as np
+import pytest
+
+from dspsr_tpu.io.fits import (
+    FitsWriter, read_fits_headers, read_bintable_column,
+)
+from dspsr_tpu.io.psrfits import save_psrfits_fold, PsrfitsSearchWriter
+from dspsr_tpu.io.archive import save_archive
+from dspsr_tpu.models.load_to_fold import FoldConfig, load_to_fold
+from dspsr_tpu.models.load_to_fil import FilConfig, load_to_fits
+from test_pipeline import synth_pulsar_dada, PERIOD, DM, PULSE_PHASE
+
+
+class TestFitsWriter:
+    def test_structure(self, tmp_path):
+        p = str(tmp_path / "t.fits")
+        with open(p, "wb") as f:
+            w = FitsWriter(f)
+            w.write_primary([("OBSFREQ", 1400.0, "MHz")])
+            w.write_bintable(
+                "TEST",
+                [("A", "1D", "s", np.arange(3.0)),
+                 ("B", "4E", "", np.arange(12.0).reshape(3, 4).astype(np.float32))],
+            )
+        import os
+        assert os.path.getsize(p) % 2880 == 0
+        hdus = read_fits_headers(p)
+        assert hdus[0]["SIMPLE"] == "T"
+        assert hdus[1]["EXTNAME"] == "TEST"
+        assert int(hdus[1]["NAXIS1"]) == 8 + 16
+        a = read_bintable_column(p, "TEST", "A")
+        np.testing.assert_allclose(a.ravel(), [0, 1, 2])
+        b = read_bintable_column(p, "TEST", "B")
+        np.testing.assert_allclose(b, np.arange(12).reshape(3, 4))
+
+
+@pytest.fixture(scope="module")
+def fold_result(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pf") / "psr.dada"
+    synth_pulsar_dada(str(p), nsec=0.2)
+    cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                     nchan=4, npol_out=2, subint_seconds=0.08, block_parts=2)
+    return load_to_fold(str(p), cfg)
+
+
+class TestPsrfitsFold:
+    def test_write_and_structure(self, fold_result, tmp_path):
+        p = str(tmp_path / "fold.sf")
+        save_psrfits_fold(p, fold_result)
+        hdus = read_fits_headers(p)
+        assert hdus[0]["FITSTYPE"] == "PSRFITS"
+        assert hdus[0]["OBS_MODE"] == "PSR"
+        sub = hdus[1]
+        assert sub["EXTNAME"] == "SUBINT"
+        assert int(sub["NBIN"]) == fold_result.nbin
+        assert int(sub["NCHAN"]) == 4
+        assert int(sub["NPOL"]) == 2
+        assert int(sub["NAXIS2"]) == fold_result.profiles.shape[0]
+
+    def test_data_roundtrip(self, fold_result, tmp_path):
+        p = str(tmp_path / "fold2.sf")
+        save_psrfits_fold(p, fold_result)
+        nsub = fold_result.profiles.shape[0]
+        nchan, npol, nbin = 4, 2, fold_result.nbin
+        data = read_bintable_column(p, "SUBINT", "DATA").astype(np.float64)
+        scl = read_bintable_column(p, "SUBINT", "DAT_SCL").astype(np.float64)
+        offs = read_bintable_column(p, "SUBINT", "DAT_OFFS").astype(np.float64)
+        # DATA order (npol, nchan, nbin); SCL/OFFS order (nchan, npol)
+        data = data.reshape(nsub, npol, nchan, nbin)
+        scl = scl.reshape(nsub, nchan, npol).transpose(0, 2, 1)
+        offs = offs.reshape(nsub, nchan, npol).transpose(0, 2, 1)
+        recon = data * scl[..., None] + offs[..., None]
+        expect = fold_result.normalized().transpose(0, 2, 1, 3)
+        span = expect.max() - expect.min()
+        np.testing.assert_allclose(recon, expect, atol=1e-4 * span + 1e-5)
+
+    def test_save_archive_routes_by_extension(self, fold_result, tmp_path):
+        p = str(tmp_path / "route.sf")
+        save_archive(p, fold_result)
+        assert read_fits_headers(p)[0]["FITSTYPE"] == "PSRFITS"
+        p2 = str(tmp_path / "route.npz")
+        save_archive(p2, fold_result)
+        from dspsr_tpu.io.archive import load_archive
+        assert load_archive(p2)["meta"]["nbin"] == fold_result.nbin
+
+
+class TestPsrfitsSearch:
+    def test_digifits_end_to_end(self, tmp_path):
+        src = str(tmp_path / "s.dada")
+        synth_pulsar_dada(src, nsec=0.1)
+        out = str(tmp_path / "search.sf")
+        cfg = FilConfig(nchan=16, tscrunch_factor=4, nbits=8, block_parts=2)
+        obs = load_to_fits(src, out, cfg)
+        hdus = read_fits_headers(out)
+        assert hdus[0]["OBS_MODE"] == "SEARCH"
+        sub = hdus[1]
+        assert sub["EXTNAME"] == "SUBINT"
+        assert int(sub["NCHAN"]) == 16
+        assert int(sub["NBITS"]) == 8
+        assert int(sub["NSBLK"]) == 4096
+        assert int(sub["NAXIS2"]) >= 1
+        data = read_bintable_column(out, "SUBINT", "DATA")
+        # data should have sensible 8-bit stats (mean near digi_mean 127.5)
+        assert 100 < data[:-1].astype(float).mean() < 155
