@@ -69,10 +69,9 @@ def main():
 
     # warmup / compile
     phi0, dphi = anchors(0)
-    for _ in range(2):
-        profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
-                                    jnp.asarray(phi0), jnp.asarray(dphi))
-    jax.block_until_ready(profiles)
+    profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
+                                jnp.asarray(phi0), jnp.asarray(dphi))
+    np.asarray(hits[:1, :1])  # hard sync
 
     nblocks = 10
     t0 = time.perf_counter()
@@ -80,7 +79,7 @@ def main():
         phi0, dphi = anchors(b)
         profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
                                     jnp.asarray(phi0), jnp.asarray(dphi))
-    jax.block_until_ready(profiles)
+    np.asarray(hits[:1, :1])
     dt = time.perf_counter() - t0
 
     samples = nblocks * stride  # raw input samples consumed

@@ -68,6 +68,7 @@ class FoldConfig:
 
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
+    blocks_per_step: int = 1  # blocks folded per device dispatch (scan)
     #: minimum input samples per device block (amortizes dispatch overhead
     #: when the FFT windows are small; the reference sizes blocks from a RAM
     #: budget, IOManager::set_block_size, LoadToFold1.C:825-879)
@@ -335,6 +336,28 @@ class FoldPipeline:
     @partial(jax.jit, static_argnames=("self",),
              donate_argnames=("profiles", "hits"))
     def _step(self, profiles, hits, raw, phi0, dphi):
+        return self._step_core(profiles, hits, raw, phi0, dphi)
+
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnames=("profiles", "hits"))
+    def _step_multi(self, profiles, hits, raws, phi0s, dphis):
+        """Process a stack of blocks in ONE dispatch (lax.scan over blocks).
+
+        The execution backend charges a large fixed latency per dispatched
+        program (measured ~30 ms regardless of FLOPs), so the host batches
+        ``blocks_per_step`` blocks per call — the device-side analogue of the
+        reference's block-size-from-RAM-budget tuning.
+        """
+        def body(carry, inp):
+            prof, h = carry
+            raw, p0, dp = inp
+            return self._step_core(prof, h, raw, p0, dp), None
+
+        (profiles, hits), _ = jax.lax.scan(
+            body, (profiles, hits), (raws, phi0s, dphis))
+        return profiles, hits
+
+    def _step_core(self, profiles, hits, raw, phi0, dphi):
         x, w = self.unpack_plan.unpack(raw)
         # w: [nchan_in, nweights] block weights or None
         if self.fb_plan is not None:
@@ -435,28 +458,57 @@ class FoldPipeline:
         start = 0
         nblocks = 0
         tsamp_out = 1.0 / self.obs_out.rate
+        nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len
+        bps = self.config.blocks_per_step
+
         while start + self.block_in_samples <= nsamp_total:
-            raw = src.read_samples(start, self.block_in_samples)
-            t_out0 = self.output_start_time(start)
-            nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len
-            phi0, dphi = compute_anchors(
-                self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
-            phi0 = (phi0 - self.config.reference_phase) % 1.0
-            self._maybe_divide(t_out0)
-            self._profiles, self._hits = self._step(
-                self._profiles, self._hits, jnp.asarray(raw),
-                jnp.asarray(phi0), jnp.asarray(dphi))
+            # gather up to blocks_per_step blocks that share a subint
+            batch = []
+            while (len(batch) < bps
+                   and start + self.block_in_samples <= nsamp_total
+                   and (max_blocks is None or nblocks + len(batch) < max_blocks)):
+                t_out0 = self.output_start_time(start)
+                if batch and self._division_index(t_out0, batch[0][3]) != \
+                        self._division_index(batch[0][3], batch[0][3]):
+                    break
+                raw = src.read_samples(start, self.block_in_samples)
+                phi0, dphi = compute_anchors(
+                    self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
+                phi0 = (phi0 - self.config.reference_phase) % 1.0
+                batch.append((raw, phi0, dphi, t_out0))
+                start += self.stride_in_samples
+            if not batch:
+                break
+
+            self._maybe_divide(batch[0][3])
+            if len(batch) == 1:
+                raw, phi0, dphi, t_out0 = batch[0]
+                self._profiles, self._hits = self._step(
+                    self._profiles, self._hits, jnp.asarray(raw),
+                    jnp.asarray(phi0), jnp.asarray(dphi))
+            else:
+                raws = jnp.asarray(np.stack([b[0] for b in batch]))
+                p0s = jnp.asarray(np.stack([b[1] for b in batch]))
+                dps = jnp.asarray(np.stack([b[2] for b in batch]))
+                self._profiles, self._hits = self._step_multi(
+                    self._profiles, self._hits, raws, p0s, dps)
             if self._first_out_time is None:
-                self._first_out_time = t_out0
-            self._last_out_time = t_out0 + nuse * tsamp_out
-            self._div_samples += nuse
-            start += self.stride_in_samples
-            nblocks += 1
+                self._first_out_time = batch[0][3]
+            self._last_out_time = batch[-1][3] + nuse * tsamp_out
+            self._div_samples += nuse * len(batch)
+            nblocks += len(batch)
             if max_blocks is not None and nblocks >= max_blocks:
                 break
 
         self._flush_division()
         return self._finish()
+
+    def _division_index(self, t: MJD, fallback_ref: MJD) -> int:
+        cfg = self.config
+        if cfg.subint_seconds <= 0:
+            return 0
+        ref = self._first_out_time or fallback_ref
+        return int((t - ref) / cfg.subint_seconds)
 
     # ---- sub-integration handling (TimeDivide/Subint equivalents) ----
 

@@ -137,35 +137,27 @@ def fold_block(
     nbin, seg_len = plan.nbin, plan.seg_len
     nseg = ndat // seg_len
 
+    # per-sample phase from segment anchors, all segments at once
     i = jnp.arange(seg_len, dtype=jnp.float32)
-    bin_ids = jnp.arange(nbin, dtype=jnp.int32)
+    phase = phi0[:, None] + dphi[:, None] * i[None, :]  # [nseg, seg_len]
+    frac = phase - jnp.floor(phase)
+    bins = jnp.clip(jnp.floor(frac * nbin).astype(jnp.int32), 0, nbin - 1)
+    bins = bins.reshape(nseg * seg_len)
 
-    xw = x * weights[:, None, :]
-    x_seg = jnp.moveaxis(xw.reshape(nchan, npol, nseg, seg_len), 2, 0)
-    w_seg = jnp.moveaxis(weights.reshape(nchan, nseg, seg_len), 1, 0)
+    # one-hot matmul over the WHOLE block: a single large MXU contraction
+    # (the execution backend charges per-op latency, so one big matmul beats
+    # a scan of small ones; onehot memory T*nbin*4B is the trade)
+    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (nseg * seg_len, nbin), 1)
+    onehot = (bins[:, None] == bin_ids).astype(jnp.float32)
 
-    def body(carry, inputs):
-        prof, h = carry
-        xs, ws, p0, dp = inputs  # xs:[nchan,npol,seg_len] ws:[nchan,seg_len]
-        phase = p0 + dp * i
-        frac = phase - jnp.floor(phase)
-        bins = jnp.clip(jnp.floor(frac * nbin).astype(jnp.int32), 0, nbin - 1)
-        onehot = (bins[:, None] == bin_ids[None, :]).astype(jnp.float32)
-        # [nchan, npol, seg_len] @ [seg_len, nbin] -> MXU
-        prof = prof + jax.lax.dot_general(
-            xs, onehot,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        h = h + jax.lax.dot_general(
-            ws, onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (prof, h), None
-
-    (profiles, hits), _ = jax.lax.scan(
-        body, (profiles, hits), (x_seg, w_seg, phi0, dphi)
+    xw = (x * weights[:, None, :]).reshape(nchan * npol, ndat)
+    profiles = profiles + jnp.matmul(
+        xw[:, : nseg * seg_len], onehot,
+        preferred_element_type=jnp.float32,
+    ).reshape(nchan, npol, nbin)
+    hits = hits + jnp.matmul(
+        weights[:, : nseg * seg_len], onehot,
+        preferred_element_type=jnp.float32,
     )
     return profiles, hits
 

@@ -41,10 +41,12 @@ import numpy as np
 from .sc import SC, mul as sc_mul
 
 #: transforms at or below this size use one dense DFT matmul
-DENSE_MAX = 256
+#: (512 keeps the stage count minimal — the execution backend charges per-op
+#: latency, so fewer/bigger matmul stages win even at higher FLOPs)
+DENSE_MAX = 512
 
-#: preferred radix (MXU tile edge)
-RADIX = 128
+#: preferred radix (multiple of the 128-wide MXU tile)
+RADIX = 512
 
 
 def _factorize(n: int, dense_max: int = DENSE_MAX) -> List[int]:
