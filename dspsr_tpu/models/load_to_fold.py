@@ -311,9 +311,9 @@ class FoldPipeline:
             nkeep = p.nkeep if self.fb_plan is not None else p.nkeep_c
             out_per_block = self.npart * nkeep
         else:
-            # no FFT stage: plain blocks sized to the source (detection of a
-            # real stream keeps it real at full rate — no analytic halving)
-            block = min(1 << 20, self.source.total_samples)
+            # no FFT stage: plain blocks sized to the sample budget (and the
+            # source; detection of a real stream keeps it real at full rate)
+            block = min(cfg.min_block_samples, self.source.total_samples)
             block = max((block // 4096) * 4096, 4096)
             self.nsamp_step = block
             self.nsamp_overlap = 0
