@@ -51,6 +51,10 @@ class FilConfig:
     nbits: int = 8  # -b output bits
     rescale_seconds: float = 0.0  # -I (0 = every block)
     rescale_constant: bool = False  # -c freeze after first block
+    #: channelizer: "fft" (dsp::Filterbank) or "polyphase"
+    #: (dsp::PolyPhaseFilterbank; incoherent only)
+    channelizer: str = "fft"
+    pfb_ntaps: int = 8
     block_parts: int = 4
     #: minimum input samples per device block: raises the window count so
     #: tiny FFTs (e.g. freq_res=1) still amortize dispatch overhead
@@ -133,16 +137,31 @@ class FilPipeline:
             nfp = nfn = 0
         nfilt = nfp + nfn
 
-        if cfg.frequency_resolution:
-            freq_res = cfg.frequency_resolution
-        elif nfilt == 0:
-            freq_res = 1
+        if cfg.channelizer == "polyphase":
+            if cfg.dispersion_measure > 0:
+                raise ValueError(
+                    "polyphase channelizer is incoherent; use the FFT "
+                    "filterbank for coherent dedispersion (-D)")
+            from ..ops.polyphase import PolyphasePlan, prototype_lowpass
+
+            self.pfb_plan = PolyphasePlan(
+                real_input=real_input, nchan_subband=self.nchan_subband,
+                ntaps=cfg.pfb_ntaps)
+            self._pfb_h = jnp.asarray(
+                prototype_lowpass(self.nchan_subband, cfg.pfb_ntaps))
+            self.fb_plan = None
         else:
-            freq_res = choose_nfft(nfilt)
-        self.fb_plan = FilterbankPlan(
-            real_input=real_input, nchan_subband=self.nchan_subband,
-            freq_res=freq_res, nfilt_pos=nfp, nfilt_neg=nfn)
-        self.fb_plan.validate()
+            self.pfb_plan = None
+            if cfg.frequency_resolution:
+                freq_res = cfg.frequency_resolution
+            elif nfilt == 0:
+                freq_res = 1
+            else:
+                freq_res = choose_nfft(nfilt)
+            self.fb_plan = FilterbankPlan(
+                real_input=real_input, nchan_subband=self.nchan_subband,
+                freq_res=freq_res, nfilt_pos=nfp, nfilt_neg=nfn)
+            self.fb_plan.validate()
 
         if cfg.dispersion_measure > 0:
             from ..ops import sc
@@ -156,7 +175,16 @@ class FilPipeline:
             self._response_natural = None
 
         self.det_state = cfg.detection_state()
-        obs_s = update_observation(obs, self.fb_plan)
+        if self.pfb_plan is not None:
+            obs_s = obs.replace(
+                nchan=obs.nchan * self.nchan_subband, ndim=2,
+                state=Signal.ANALYTIC,
+                rate=obs.rate / self.pfb_plan.step / (2 if real_input else 1)
+                * (2 if real_input else 1) / 1,
+            )
+            obs_s = obs_s.replace(rate=obs.rate / self.pfb_plan.step)
+        else:
+            obs_s = update_observation(obs, self.fb_plan)
         obs_d = obs_s.apply_detection(self.det_state)
         obs_d = update_observation_fscrunch(obs_d, cfg.fscrunch_factor)
         obs_d = update_observation_tscrunch(obs_d, cfg.tscrunch_factor)
@@ -164,12 +192,14 @@ class FilPipeline:
             pass
         self.obs_out = obs_d.replace(nbit=cfg.nbits)
 
-        want = -(-cfg.min_block_samples // self.fb_plan.nsamp_step)
-        cap = self.fb_plan.npart(self.source.total_samples)
+        geom = self.pfb_plan if self.pfb_plan is not None else self.fb_plan
+        step = geom.step if self.pfb_plan is not None else geom.nsamp_step
+        want = -(-cfg.min_block_samples // step)
+        cap = geom.npart(self.source.total_samples)
         self.npart = max(min(want, cap), cfg.block_parts) if cap > 0 \
             else cfg.block_parts
-        self.block_in_samples = self.fb_plan.block_ndat(self.npart)
-        self.stride_in_samples = self.npart * self.fb_plan.nsamp_step
+        self.block_in_samples = geom.block_ndat(self.npart)
+        self.stride_in_samples = self.npart * step
         self._rescale_state = RescaleState.zeros(
             self.obs_out.nchan, self.obs_out.npol)
         self._blocks_done = 0
@@ -177,7 +207,14 @@ class FilPipeline:
     @partial(jax.jit, static_argnames=("self", "freeze"))
     def _step(self, rescale_state, raw, freeze=False):
         x, w = self.unpack_plan.unpack(raw)
-        y = filterbank_block(x, self.fb_plan, self.npart, self._response_natural)
+        if self.pfb_plan is not None:
+            from ..ops.polyphase import polyphase_filterbank_block
+
+            y = polyphase_filterbank_block(x, self._pfb_h, self.pfb_plan,
+                                           self.npart)
+        else:
+            y = filterbank_block(x, self.fb_plan, self.npart,
+                                 self._response_natural)
         d = detect(y, self.det_state)
         d = fscrunch(d, self.config.fscrunch_factor)
         d = tscrunch(d, self.config.tscrunch_factor)

@@ -61,7 +61,10 @@ class FoldConfig:
 
     # detection
     npol_out: int = 1  # -d 1|2|4 -> Intensity|PPQQ|Stokes
-    fourth_moment: bool = False
+    fourth_moment: bool = False  # -4: fold S_i*S_j moments too
+    #: remove inter-channel dispersion delays inside the chirp (the -K
+    #: SampleDelay op fused into the response as a phase ramp)
+    interchannel_align: bool = False
 
     # subints
     subint_seconds: float = 0.0  # -L
@@ -237,8 +240,28 @@ class FoldPipeline:
 
         # --- chirp (Dedispersion::match/build; LoadToFold1.C:199-241) ---
         if cfg.coherent and self.dm > 0:
-            self.kernel = Dedispersion.build(
+            builder = (Dedispersion.build_interchannel_aligned
+                       if cfg.interchannel_align else Dedispersion.build)
+            self.kernel = builder(
                 self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, ndat_fft)
+            if cfg.interchannel_align and self.fb_plan is not None:
+                # delay ramp needs overlap cover: rebuild the plan with the
+                # enlarged impulse_pos
+                self.fb_plan = FilterbankPlan(
+                    real_input=self.fb_plan.real_input,
+                    nchan_subband=self.fb_plan.nchan_subband,
+                    freq_res=self.fb_plan.freq_res,
+                    nfilt_pos=self.kernel.impulse_pos,
+                    nfilt_neg=self.kernel.impulse_neg)
+                self.fb_plan.validate()
+                self.obs_stream = update_observation(obs, self.fb_plan)
+            elif cfg.interchannel_align and self.conv_plan is not None:
+                self.conv_plan = OverlapSavePlan(
+                    self.conv_plan.real_input, self.conv_plan.n_fft,
+                    self.kernel.impulse_pos, self.kernel.impulse_neg)
+                self.conv_plan.validate()
+            nfp = self.kernel.impulse_pos
+            nfn = self.kernel.impulse_neg
             if self.fb_plan is not None:
                 rr, ri = sc.from_numpy(self.kernel.phasors)
                 self._response_natural = (jnp.asarray(rr), jnp.asarray(ri))
@@ -257,6 +280,10 @@ class FoldPipeline:
         # --- detection ---
         self.det_state = cfg.detection_state()
         self.obs_out = self.obs_stream.apply_detection(self.det_state)
+        if cfg.fourth_moment:
+            if cfg.npol_out != 4:
+                raise ValueError("fourth_moment requires npol_out=4 (Stokes)")
+            self.obs_out = self.obs_out.replace(npol=14)
 
         # --- spectral kurtosis (SpectralKurtosis.C; applied post-detection) -
         self.sk_plan = SKPlan(
@@ -368,6 +395,10 @@ class FoldPipeline:
         else:
             y = x
         d = detect(y, self.det_state)
+        if self.config.fourth_moment:
+            from ..ops.fourth_moment import fourth_moment
+
+            d = fourth_moment(d)
         nchan, npol = d.shape[0], d.shape[1]
         ndat_out = d.shape[2]
         nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len

@@ -20,6 +20,7 @@ device.  The DC phasor of the whole band is zapped (``Dedispersion.C:322-323``).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from typing import Optional
@@ -151,6 +152,48 @@ class Dedispersion(Response):
             frequency_output=chan_cfreq,
             bandwidth_output=np.full(nchan, chanwidth),
         )
+
+    @classmethod
+    def build_interchannel_aligned(
+        cls,
+        dm: float,
+        centre_frequency: float,
+        bandwidth: float,
+        nchan: int,
+        ndat: int,
+        **kw,
+    ) -> "Dedispersion":
+        """Chirp with inter-channel dispersion delays removed in the same
+        response (the reference's ``SampleDelay``/-K op fused into the
+        frequency response: a linear phase ramp exp(-2 pi i f dt_c) delays
+        channel c by dt_c with sub-sample accuracy, costing zero extra ops).
+
+        Channels align to the highest frequency in the band (reference
+        ``DedispersionSampleDelay.C``).  The extra impulse_pos must cover the
+        largest advance: an advanced output sample depends on input up to
+        max(delay) samples in the future, so impulse_neg grows by that cover.
+        """
+        ded = cls.build(dm, centre_frequency, bandwidth, nchan, ndat, **kw)
+        chan_cfreq = ded.frequency_output
+        highest = max(
+            centre_frequency + 0.5 * abs(bandwidth) - 0.5 * abs(bandwidth) / nchan,
+            float(np.max(chan_cfreq)),
+        )
+        # delay of each channel centre relative to the highest frequency (s)
+        delays = np.array([delay_time(dm, f, highest) for f in chan_cfreq])
+        chan_rate = abs(bandwidth) / nchan * 1e6  # complex samples/s
+        chanwidth = bandwidth / nchan
+        binwidth = chanwidth / ndat
+        # natural-order bin frequency offsets from the channel centre (MHz)
+        freq = np.arange(ndat) * binwidth - 0.5 * chanwidth
+        # remove the delay: multiply by exp(+2 pi i f dt) (f in MHz, dt in us)
+        phase = 2.0 * np.pi * freq[None, :] * (delays[:, None] * 1e6)
+        ded.phasors = (ded.phasors.astype(np.complex128)
+                       * np.exp(1j * phase)).astype(np.complex64)
+        extra = int(math.ceil(np.max(delays) * chan_rate)) + 1
+        return dataclasses.replace(
+            ded, impulse_neg=ded.impulse_neg + extra,
+            phasors=ded.phasors)
 
     @staticmethod
     def _half_smearing_samples(dm: float, cfreq: float, bw: float, nchan: int,

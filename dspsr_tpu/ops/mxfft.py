@@ -40,6 +40,8 @@ import numpy as np
 
 from .sc import SC, mul as sc_mul
 
+import os
+
 #: transforms at or below this size use one dense DFT matmul
 #: (512 keeps the stage count minimal — the execution backend charges per-op
 #: latency, so fewer/bigger matmul stages win even at higher FLOPs)
@@ -47,6 +49,15 @@ DENSE_MAX = 512
 
 #: preferred radix (multiple of the 128-wide MXU tile)
 RADIX = 512
+
+#: default matmul precision for FFT stages.  HIGHEST = f32-faithful (6-pass
+#: bf16x3) — right for correctness work; DEFAULT = bf16 MXU passes — ~6x the
+#: matmul rate, error ~1e-3 relative, usually below the quantization noise of
+#: 2-8 bit telescope data.  Override with DSPSR_TPU_FFT_PRECISION=default.
+_PREC = {"default": jax.lax.Precision.DEFAULT,
+         "high": jax.lax.Precision.HIGH,
+         "highest": jax.lax.Precision.HIGHEST}
+FFT_PRECISION = _PREC[os.environ.get("DSPSR_TPU_FFT_PRECISION", "highest").lower()]
 
 
 def _factorize(n: int, dense_max: int = DENSE_MAX) -> List[int]:
@@ -146,7 +157,7 @@ def _cmatmul(ar, ai, wr, wi, wsum, precision):
 
 
 def fft_sc(x: SC, n: int, forward: bool = True,
-           precision=jax.lax.Precision.HIGHEST) -> SC:
+           precision=None) -> SC:
     """Complex FFT along the last axis (length n) of a split-complex tensor.
 
     Iterative mixed-radix DIT: at each stage the transform axis is reshaped
@@ -154,6 +165,8 @@ def fft_sc(x: SC, n: int, forward: bool = True,
     by rem), matmul'd with the radix-DFT matrix, twiddled, and recursed on
     the rem axis.  Output is in natural order.
     """
+    if precision is None:
+        precision = FFT_PRECISION
     plan = get_plan(n, forward)
     consts = plan.device_constants()
     xr, xi = x
@@ -189,12 +202,11 @@ def fft_sc(x: SC, n: int, forward: bool = True,
     return yr, yi
 
 
-def ifft_sc(x: SC, n: int, precision=jax.lax.Precision.HIGHEST) -> SC:
+def ifft_sc(x: SC, n: int, precision=None) -> SC:
     return fft_sc(x, n, forward=False, precision=precision)
 
 
-def rfft_sc(x: jnp.ndarray, n2: int,
-            precision=jax.lax.Precision.HIGHEST) -> SC:
+def rfft_sc(x: jnp.ndarray, n2: int, precision=None) -> SC:
     """Real-input FFT of length ``n2`` (= 2N real samples) along the last
     axis; returns bins 0..N-1 (the Nyquist bin is dropped, matching how the
     pipeline consumes half-spectra; reference ``frc1d`` semantics).
@@ -203,6 +215,8 @@ def rfft_sc(x: jnp.ndarray, n2: int,
       Z = FFT(x_even + i x_odd)
       X[k] = (Z[k] + conj(Z[N-k]))/2 + w^k (Z[k] - conj(Z[N-k]))/(2i)
     """
+    if precision is None:
+        precision = FFT_PRECISION
     N = n2 // 2
     xe = x[..., 0::2]
     xo = x[..., 1::2]

@@ -1,0 +1,102 @@
+"""Tests for apodization windows, polyphase filterbank, fourth moments op."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dspsr_tpu.ops.apodization import WindowType, build_window
+from dspsr_tpu.ops.polyphase import (
+    PolyphasePlan, polyphase_filterbank_block, prototype_lowpass,
+)
+from dspsr_tpu.ops.fourth_moment import fourth_moment, PAIRS
+from scutil import sc_of, c_of
+
+
+class TestApodization:
+    def test_hanning(self):
+        w = build_window(WindowType.HANNING, 64)
+        assert w[0] == pytest.approx(0.0, abs=1e-6)
+        assert w[32] == pytest.approx(1.0, abs=1e-2)
+        np.testing.assert_allclose(w, w[::-1], atol=1e-6)
+
+    def test_welch_parzen_positive(self):
+        for k in (WindowType.WELCH, WindowType.PARZEN):
+            w = build_window(k, 33)
+            assert w.min() >= 0 and w.max() <= 1.0 + 1e-6
+
+    def test_tukey_flat_top(self):
+        w = build_window(WindowType.TUKEY, 64, transition=8)
+        np.testing.assert_allclose(w[8:56], 1.0)
+
+    def test_none(self):
+        np.testing.assert_array_equal(build_window(WindowType.NONE, 16), 1.0)
+
+
+class TestPolyphase:
+    def test_tone_lands_in_channel(self):
+        nc, taps = 16, 8
+        plan = PolyphasePlan(real_input=False, nchan_subband=nc, ntaps=taps)
+        h = jnp.asarray(prototype_lowpass(nc, taps))
+        npart = 64
+        ndat = plan.block_ndat(npart)
+        for c in [1, 7, 12]:
+            f = -0.5 + (c + 0.5) / nc
+            x = np.exp(2j * np.pi * f * np.arange(ndat)).astype(np.complex64)
+            y = c_of(polyphase_filterbank_block(
+                sc_of(x[None, None, :]), h, plan, npart))
+            assert y.shape == (nc, 1, npart)
+            power = np.abs(y[:, 0]).mean(axis=1) ** 2
+            assert power.argmax() == c, (c, power.argmax())
+
+    def test_channel_isolation_beats_fft(self):
+        """PFB leakage into a neighbouring channel is far below the plain
+        critically-sampled FFT filterbank's (the PFB's raison d'etre)."""
+        from dspsr_tpu.ops.filterbank import FilterbankPlan, filterbank_block
+
+        nc = 16
+        taps = 12
+        pplan = PolyphasePlan(False, nc, taps)
+        h = jnp.asarray(prototype_lowpass(nc, taps))
+        fplan = FilterbankPlan(False, nc, 1)
+
+        npart = 256
+        ndat = pplan.block_ndat(npart)
+        # tone halfway between channels 5 and 6 edges... offset 0.25 channel
+        f = -0.5 + (5 + 0.75) / nc
+        x = np.exp(2j * np.pi * f * np.arange(ndat)).astype(np.complex64)
+
+        yp = c_of(polyphase_filterbank_block(sc_of(x[None, None, :]), h, pplan, npart))
+        nf = fplan.npart(ndat)
+        yf = c_of(filterbank_block(sc_of(x[None, None, :]), fplan, nf))
+
+        def leakage(y):
+            p = (np.abs(y[:, 0]) ** 2).mean(axis=1)
+            # power two channels away relative to the peak
+            return p[(p.argmax() + 3) % nc] / p.max()
+
+        assert leakage(yp) < leakage(yf) * 0.1, (leakage(yp), leakage(yf))
+
+    def test_dc_gain_unity(self):
+        nc, taps = 8, 8
+        plan = PolyphasePlan(False, nc, taps)
+        h = jnp.asarray(prototype_lowpass(nc, taps))
+        npart = 16
+        ndat = plan.block_ndat(npart)
+        # tone at the centre of channel 5: unit passband gain
+        c = 5
+        f = -0.5 + (c + 0.5) / nc
+        x = np.exp(2j * np.pi * f * np.arange(ndat)).astype(np.complex64)
+        y = c_of(polyphase_filterbank_block(sc_of(x[None, None, :]), h, plan, npart))
+        p = np.abs(y[:, 0]).mean(axis=1)
+        assert p.argmax() == c
+        assert p.max() == pytest.approx(1.0, rel=0.05)
+
+
+class TestFourthMoment:
+    def test_products(self, rng):
+        s = rng.standard_normal((2, 4, 8)).astype(np.float32)
+        m = np.asarray(fourth_moment(jnp.asarray(s)))
+        assert m.shape == (2, 14, 8)
+        np.testing.assert_allclose(m[:, :4], s, rtol=1e-6)
+        for k, (i, j) in enumerate(PAIRS):
+            np.testing.assert_allclose(m[:, 4 + k], s[:, i] * s[:, j], rtol=1e-5)

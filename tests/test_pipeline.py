@@ -209,3 +209,39 @@ class TestArchive:
         np.testing.assert_allclose(back["hits"], res.hits)
         assert back["meta"]["source"] == "FAKEPSR"
         assert back["meta"]["nbin"] == res.nbin
+
+
+class TestInterchannelAlign:
+    def test_channels_align_to_highest_frequency(self, pulsar_file):
+        """-K equivalent: the delay ramp in the chirp aligns all channels to
+        the arrival time at the highest frequency in the band."""
+        from dspsr_tpu.ops.dedispersion import delay_time
+
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, interchannel_align=True)
+        res = load_to_fold(pulsar_file, cfg)
+        raw = res.normalized()[0]
+        # expected common phase: arrival at the highest channel centre
+        # (synth dispersed the pulse relative to the band centre CF)
+        f_high = max(res.obs.centre_frequency_of(c) for c in range(4))
+        expect = (PULSE_PHASE + delay_time(DM, f_high, CF) / PERIOD) % 1.0
+        for c in range(4):
+            peak = raw[c, 0].argmax() / res.nbin
+            err = min(abs(peak - expect), 1 - abs(peak - expect))
+            assert err < 0.05, (c, peak, expect)
+
+
+class TestFourthMoment:
+    def test_moments_fold(self, pulsar_file):
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         npol_out=4, fourth_moment=True, block_parts=2)
+        res = load_to_fold(pulsar_file, cfg)
+        assert res.obs.npol == 14
+        prof = res.normalized()[0, 0]  # [14, nbin]
+        # plane 0 is Stokes I; plane 4 is <I^2>; by Cauchy-Schwarz the folded
+        # <I^2> >= <I>^2 binwise (variance non-negative)
+        ii = prof[0]
+        i2 = prof[4]
+        assert np.all(i2 >= ii**2 * 0.999)
+        # the pulse appears in I
+        assert abs(ii.argmax() / res.nbin - PULSE_PHASE) < 0.03

@@ -179,3 +179,24 @@ class TestLoadToFil:
         contrast_c = (pc.max() - np.median(pc)) / pc.std()
         contrast_i = (pi.max() - np.median(pi)) / pi.std()
         assert contrast_c > contrast_i, (contrast_c, contrast_i)
+
+
+class TestPolyphaseChannelizer:
+    def test_pfb_fil(self, tmp_path):
+        src = synth_pulsar_dada(str(tmp_path / "pfb.dada"), nsec=0.05, dm=0.0)
+        out = str(tmp_path / "pfb.fil")
+        cfg = FilConfig(nchan=16, channelizer="polyphase", pfb_ntaps=8,
+                        nbits=8, tscrunch_factor=4)
+        obs = load_to_fil(src, out, cfg)
+        assert obs.nchan == 16
+        items, hdr = read_sigproc_header(out)
+        assert items["nchans"] == 16
+        import os
+        assert os.path.getsize(out) > hdr
+
+    def test_pfb_rejects_coherent(self, tmp_path):
+        src = synth_pulsar_dada(str(tmp_path / "pfb2.dada"), nsec=0.01)
+        with pytest.raises(ValueError):
+            load_to_fil(src, "/tmp/x.fil",
+                        FilConfig(nchan=8, channelizer="polyphase",
+                                  dispersion_measure=1.0))
