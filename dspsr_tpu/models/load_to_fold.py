@@ -66,6 +66,10 @@ class FoldConfig:
     #: SampleDelay op fused into the response as a phase ramp)
     interchannel_align: bool = False
 
+    # cyclic spectroscopy (reference -cyclic N / CyclicFold)
+    cyclic_nchan: int = 0  # cyclic channels per input channel (0 = off)
+    cyclic_mover: int = 1  # oversampling factor
+
     # subints
     subint_seconds: float = 0.0  # -L
 
@@ -83,6 +87,11 @@ class FoldConfig:
     twos_complement: bool = False
     ndat_per_weight: int = 512
     cutoff_sigma: float = 3.0
+
+    # narrow-band RFI zapping from the median bandpass (reference RFIFilter)
+    rfi_filter: bool = False
+    rfi_median_width: int = 21
+    rfi_threshold: float = 4.0
 
     # spectral kurtosis RFI excision (reference -skz / SKDetector config)
     sk_enable: bool = False
@@ -107,12 +116,29 @@ class FoldResult:
     nbin: int = 0
     folding_period: float = 0.0
     dispersion_measure: float = 0.0
+    cyclic_nlag: int = 0  # >0: profiles hold folded lag planes
+    cyclic_mover: int = 1
+    cyclic_npol: int = 1
 
     def normalized(self) -> np.ndarray:
         """Profiles divided by hits (the archive convention,
         ``Archiver.C:407-773`` raw_to_central)."""
         h = np.maximum(self.hits[:, :, None, :], 1.0)
         return self.profiles / h
+
+    def cyclic_spectra(self) -> np.ndarray:
+        """Phase-resolved cyclic spectra from folded lag planes
+        (reference ``CyclicFoldEngine::synch``); see ops.cyclic."""
+        from ..ops.cyclic import cyclic_spectra
+
+        if not self.cyclic_nlag:
+            raise ValueError("not a cyclic fold result")
+        out = []
+        for s in range(self.profiles.shape[0]):
+            out.append(cyclic_spectra(
+                self.normalized()[s].astype(np.float64),
+                self.cyclic_nlag, self.cyclic_mover, self.cyclic_npol))
+        return np.stack(out)
 
     def dedispersed(self, ref_freq: float | None = None) -> np.ndarray:
         """Normalized profiles with inter-channel dispersion delays rotated
@@ -277,9 +303,21 @@ class FoldPipeline:
             self._response_natural = None
             self._response_fftorder = None
 
+        # --- cyclic fold (CyclicFold.C; folds lag products, not power) ---
+        if cfg.cyclic_nchan:
+            from ..ops.cyclic import CyclicPlan
+
+            self.cyclic_plan = CyclicPlan(cfg.cyclic_nchan, cfg.cyclic_mover)
+        else:
+            self.cyclic_plan = None
+
         # --- detection ---
         self.det_state = cfg.detection_state()
         self.obs_out = self.obs_stream.apply_detection(self.det_state)
+        if self.cyclic_plan is not None:
+            npol_in = self.obs_stream.npol
+            self.obs_out = self.obs_stream.replace(
+                npol=npol_in * self.cyclic_plan.nlag * 2, ndim=1)
         if cfg.fourth_moment:
             if cfg.npol_out != 4:
                 raise ValueError("fourth_moment requires npol_out=4 (Stokes)")
@@ -348,6 +386,10 @@ class FoldPipeline:
             self.block_in_samples = block
             out_per_block = block
 
+        # cyclic fold consumes nlag-1 samples building lag products
+        if getattr(self, "cyclic_plan", None) is not None:
+            out_per_block -= self.cyclic_plan.nlag - 1
+
         # fold segments must tile the block's output samples
         seg = self.config.seg_len
         if out_per_block % seg:
@@ -388,13 +430,21 @@ class FoldPipeline:
         x, w = self.unpack_plan.unpack(raw)
         # w: [nchan_in, nweights] block weights or None
         if self.fb_plan is not None:
-            y = filterbank_block(x, self.fb_plan, self.npart, self._response_natural)
+            rfi = ((self.config.rfi_median_width, self.config.rfi_threshold)
+                   if self.config.rfi_filter else None)
+            y = filterbank_block(x, self.fb_plan, self.npart,
+                                 self._response_natural, rfi_zap=rfi)
         elif self.conv_plan is not None:
             y = overlap_save_convolve(
                 x, self._response_fftorder, self.conv_plan, self.npart)
         else:
             y = x
-        d = detect(y, self.det_state)
+        if self.cyclic_plan is not None:
+            from ..ops.cyclic import lag_planes
+
+            d = lag_planes(y, self.cyclic_plan.nlag)
+        else:
+            d = detect(y, self.det_state)
         if self.config.fourth_moment:
             from ..ops.fourth_moment import fourth_moment
 
@@ -584,6 +634,9 @@ class FoldPipeline:
             nbin=self.nbin,
             folding_period=self.folding_period,
             dispersion_measure=self.dm,
+            cyclic_nlag=(self.cyclic_plan.nlag if self.cyclic_plan else 0),
+            cyclic_mover=(self.cyclic_plan.mover if self.cyclic_plan else 1),
+            cyclic_npol=self.obs_stream.npol if self.cyclic_plan else 1,
         )
 
 

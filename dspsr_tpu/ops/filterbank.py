@@ -99,12 +99,13 @@ class FilterbankPlan:
             raise ValueError("nchan_subband must be >= 1")
 
 
-@partial(jax.jit, static_argnames=("plan", "npart"))
+@partial(jax.jit, static_argnames=("plan", "npart", "rfi_zap"))
 def filterbank_block(
     x,
     plan: FilterbankPlan,
     npart: int,
     response_natural: Optional[SC] = None,
+    rfi_zap: Optional[tuple] = None,
 ) -> SC:
     """Channelize a block (optionally convolving a response).
 
@@ -115,6 +116,8 @@ def filterbank_block(
         ``[nchan_in*nchan_subband, freq_res]`` per-output-channel response in
         natural order ("convolve during", reference ``FilterbankConfig``
         convolve_when==During).
+      rfi_zap: optional (median_width, threshold) enabling in-step
+        narrow-band RFI rejection (ops.rfifilter; reference RFIFilter).
 
     Returns split-complex ``[nchan_in*nchan_subband, npol, npart*nkeep]`` in
     natural channel order.
@@ -140,6 +143,13 @@ def filterbank_block(
         rr = response_natural[0].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
         ri = response_natural[1].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
         spec = sc.mul(spec, (rr[:, None, None, :, :], ri[:, None, None, :, :]))
+
+    if rfi_zap is not None:
+        from .rfifilter import rfi_bandpass_weights
+
+        width, thresh = rfi_zap
+        w = rfi_bandpass_weights(spec, width, thresh)
+        spec = (spec[0] * w, spec[1] * w)
 
     if plan.freq_res == 1:
         subr = spec[0][..., 0]  # [nchan_in, npol, npart, nchan_subband]

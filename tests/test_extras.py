@@ -100,3 +100,44 @@ class TestFourthMoment:
         np.testing.assert_allclose(m[:, :4], s, rtol=1e-6)
         for k, (i, j) in enumerate(PAIRS):
             np.testing.assert_allclose(m[:, 4 + k], s[:, i] * s[:, j], rtol=1e-5)
+
+
+class TestCyclicFold:
+    def test_lag_zero_is_power(self, rng):
+        from dspsr_tpu.ops.cyclic import lag_products
+        x = (rng.standard_normal((1, 1, 64))
+             + 1j * rng.standard_normal((1, 1, 64))).astype(np.complex64)
+        cr, ci = lag_products(sc_of(x), 4)
+        p0 = np.asarray(cr)[0, 0, 0]
+        np.testing.assert_allclose(p0, np.abs(x[0, 0, :61]) ** 2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ci)[0, 0, 0], 0, atol=1e-5)
+
+    def test_hermitian_property(self, rng):
+        from dspsr_tpu.ops.cyclic import lag_products
+        x = (rng.standard_normal((1, 1, 128))
+             + 1j * rng.standard_normal((1, 1, 128))).astype(np.complex64)
+        cr, ci = lag_products(sc_of(x), 3)
+        c = c_of((cr, ci))[0, 0]
+        ref = x[0, 0]
+        for l in range(3):
+            np.testing.assert_allclose(
+                c[l], ref[l:l+126] * np.conj(ref[:126]), rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_cyclic_fold(self, tmp_path):
+        from dspsr_tpu.models.load_to_fold import FoldConfig, load_to_fold
+        from test_pipeline import synth_pulsar_dada, PERIOD, DM, PULSE_PHASE
+
+        p = synth_pulsar_dada(str(tmp_path / "cyc.dada"), nsec=0.2)
+        nc = 8
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         cyclic_nchan=nc, block_parts=2, nbin=64)
+        res = load_to_fold(p, cfg)
+        nlag = nc // 2 + 1
+        # npol_in=2 -> planes = 2*nlag*2
+        assert res.obs.npol == 2 * nlag * 2
+        spec = res.cyclic_spectra()  # [nsub, nchan, npol, nbin, nchan_cyclic]
+        assert spec.shape[-1] == 2 * (nlag - 1)
+        # the phase-averaged lag-0 power profile carries the pulse: sum the
+        # cyclic spectrum over channels = lag-0 = intensity profile
+        prof = spec[0, 0, 0].sum(axis=-1)
+        assert abs(prof.argmax() / res.nbin - PULSE_PHASE) < 0.06

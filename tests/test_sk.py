@@ -153,3 +153,45 @@ class TestPipelineIntegration:
         prof = res.dedispersed()[0].sum(0)[0]
         peak = prof.argmax() / res.nbin
         assert abs(peak - PULSE_PHASE) < 0.05, peak
+
+
+class TestRFIFilter:
+    def test_median_filter(self):
+        from dspsr_tpu.ops.rfifilter import median_filter_freq
+        x = jnp.asarray(np.array([1., 1, 1, 50, 1, 1, 1, 1], np.float32))
+        m = np.asarray(median_filter_freq(x, 3))
+        np.testing.assert_array_equal(m, 1.0)
+
+    def test_tone_zapped_in_pipeline(self, tmp_path, rng):
+        """A persistent narrowband tone is removed by the bandpass filter."""
+        path = str(tmp_path / "tone.dada")
+        synth_pulsar_dada(path, nsec=0.1, seed=6, amp=0.0)
+        # add a persistent strong tone at +1/8 band to the whole file
+        import os
+        from dspsr_tpu.io.sources import open_source
+        src = open_source(path)
+        n = src.total_samples
+        t = np.arange(n)
+        tone = 40 * np.exp(2j * np.pi * 0.125 * t)
+        add = np.zeros((n, 2, 2))
+        add[:, :, 0] = tone.real[:, None]
+        add[:, :, 1] = tone.imag[:, None]
+        raw = src.read_samples(0, n).reshape(n, 2, 2).astype(np.float64)
+        q = np.clip(np.round(raw + add), 0, 255).astype(np.uint8)
+        with open(path, "r+b") as f:
+            f.seek(4096)
+            f.write(q.tobytes())
+
+        base = dict(folding_period=PERIOD, dispersion_measure=DM,
+                    nchan=4, block_parts=2)
+        res_no = load_to_fold(path, FoldConfig(**base))
+        res_rf = load_to_fold(path, FoldConfig(**base, rfi_filter=True))
+        # tone sits in channel 2; its folded power drops with the filter
+        ch = 2
+        p_no = res_no.normalized()[0, ch, 0].mean()
+        p_rf = res_rf.normalized()[0, ch, 0].mean()
+        other_no = res_no.normalized()[0, 0, 0].mean()
+        other_rf = res_rf.normalized()[0, 0, 0].mean()
+        assert p_rf < 0.5 * p_no, (p_rf, p_no)
+        # clean channel mostly unaffected
+        assert other_rf > 0.8 * other_no
