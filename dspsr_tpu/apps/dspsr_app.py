@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     # subints
     p.add_argument("-L", "--subint", type=float, default=0.0,
                    help="subintegration length (seconds)")
+    p.add_argument("--turns", type=int, default=0,
+                   help="subintegration length in pulse turns")
     # time selection
     p.add_argument("-T", "--total", type=float, default=None,
                    help="process only this many seconds")
@@ -55,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="FFT windows per device block")
     p.add_argument("-O", "--output", default=None,
                    help="output archive filename (default: <source>_<MJD>.npz)")
+    p.add_argument("-r", "--report", action="store_true",
+                   help="print per-stage timing report")
+    p.add_argument("--header", nargs="+", default=None, metavar="KEY=VAL",
+                   help="treat input as headerless raw data described by "
+                        "these keys (CommandLineHeader equivalent)")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -80,6 +87,8 @@ def main(argv=None) -> int:
         reference_phase=args.phase,
         npol_out=args.npol,
         subint_seconds=args.subint,
+        subint_turns=args.turns,
+        report=args.report,
         block_parts=args.block_parts,
         sk_enable=args.skz,
         sk_m=args.skzm,
@@ -88,8 +97,13 @@ def main(argv=None) -> int:
         sk_no_fscr=args.skz_no_fscr,
     )
 
-    src = (open_source(args.files[0]) if len(args.files) == 1
-           else MultiFile(args.files))
+    if args.header:
+        from ..io.sources import RawFileSource, observation_from_keyvals
+
+        src = RawFileSource(args.files[0], observation_from_keyvals(args.header))
+    else:
+        src = (open_source(args.files[0]) if len(args.files) == 1
+               else MultiFile(args.files))
     if not args.quiet:
         o = src.obs
         print(f"dspsr-tpu: {o.source} {o.centre_frequency} MHz BW {o.bandwidth} "

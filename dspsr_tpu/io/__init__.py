@@ -1,0 +1,9 @@
+"""I/O: data sources, format registry, writers.
+
+Importing this package enrolls all built-in formats in the probe registry
+(the role of the reference's File_registry.C static registrations).
+"""
+
+from . import sources  # noqa: F401  (registers DADA/Dummy)
+from . import psrfits_in  # noqa: F401  (registers PSRFITS search input)
+from .sources import open_source, Source, DADAFile, DummySource, MultiFile  # noqa: F401

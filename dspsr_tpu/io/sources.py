@@ -162,6 +162,54 @@ class DummySource(Source):
         return (h & np.uint64(0xFF)).astype(np.uint8)
 
 
+class RawFileSource(Source):
+    """Headerless raw data file + externally supplied Observation
+    (reference ``CommandLineHeader``: ``dspsr --header KEY=VAL ...``)."""
+
+    def __init__(self, path: str, obs: Observation, header_bytes: int = 0):
+        self.path = path
+        self.obs = obs
+        self.header_bytes = header_bytes
+        bps = self.bytes_per_sample_exact()
+        self._total = (os.path.getsize(path) - header_bytes) // bps
+        if obs.ndat and obs.ndat < self._total:
+            self._total = obs.ndat
+        self.obs = obs.replace(ndat=self._total)
+
+    @staticmethod
+    def is_valid(path) -> bool:
+        return False  # explicit construction only
+
+    @property
+    def total_samples(self) -> int:
+        return self._total
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        out = np.zeros(nsamp * bps, np.uint8)
+        if start >= self._total:
+            return out
+        navail = min(nsamp, self._total - start)
+        with open(self.path, "rb") as f:
+            f.seek(self.header_bytes + start * bps)
+            buf = f.read(navail * bps)
+        out[: len(buf)] = np.frombuffer(buf, np.uint8)
+        return out
+
+
+def observation_from_keyvals(pairs) -> Observation:
+    """Build an Observation from KEY=VAL strings (CommandLineHeader)."""
+    from .dada import observation_from_header
+
+    hdr = {}
+    for p in pairs:
+        if "=" not in p:
+            raise ValueError(f"--header expects KEY=VAL, got {p!r}")
+        k, v = p.split("=", 1)
+        hdr[k.strip().upper()] = v.strip()
+    return observation_from_header(hdr)
+
+
 class MultiFile(Source):
     """Concatenate contiguous files into one logical stream
     (reference ``Kernel/Classes/MultiFile.C``)."""

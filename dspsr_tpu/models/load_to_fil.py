@@ -196,7 +196,7 @@ class FilPipeline:
         step = geom.step if self.pfb_plan is not None else geom.nsamp_step
         want = -(-cfg.min_block_samples // step)
         cap = geom.npart(self.source.total_samples)
-        self.npart = max(min(want, cap), cfg.block_parts) if cap > 0 \
+        self.npart = min(max(want, cfg.block_parts), cap) if cap > 0 \
             else cfg.block_parts
         self.block_in_samples = geom.block_ndat(self.npart)
         self.stride_in_samples = self.npart * step

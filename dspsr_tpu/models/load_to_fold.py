@@ -72,6 +72,7 @@ class FoldConfig:
 
     # subints
     subint_seconds: float = 0.0  # -L
+    subint_turns: int = 0  # --turns: divide by pulse turns (TimeDivide)
 
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
@@ -82,6 +83,9 @@ class FoldConfig:
     min_block_samples: int = 1 << 20
     seg_len: int = 2048  # fold phase-anchor segment (output samples)
     max_nfft: int = 1 << 24
+
+    # observability (-r: per-stage timing report + progress meter)
+    report: bool = False
 
     # unpacking
     twos_complement: bool = False
@@ -370,7 +374,11 @@ class FoldPipeline:
             if cfg.subint_seconds > 0 and self.obs_in.rate > 0:
                 sub_samps = int(cfg.subint_seconds * self.obs_in.rate)
                 cap = min(cap, max(p.npart(sub_samps), 1))
-            self.npart = max(min(want, cap), cfg.block_parts) if cap > 0 \
+            if cfg.subint_turns > 0 and self.obs_in.rate > 0:
+                period = self.predictor.period(self.obs_in.start_time)
+                sub_samps = int(cfg.subint_turns * period * self.obs_in.rate)
+                cap = min(cap, max(p.npart(sub_samps), 1))
+            self.npart = min(max(want, cfg.block_parts), cap) if cap > 0 \
                 else cfg.block_parts
             self.block_in_samples = p.block_ndat(self.npart)
             nkeep = p.nkeep if self.fb_plan is not None else p.nkeep_c
@@ -531,11 +539,14 @@ class FoldPipeline:
 
         total_seconds limits input consumed (reference -T).
         """
+        from ..utils.report import RunReport
+
         src = self.source
         nsamp_total = src.total_samples
         if total_seconds is not None:
             nsamp_total = min(nsamp_total, int(total_seconds * self.obs_in.rate))
 
+        rep = RunReport(enabled=self.config.report)
         start = 0
         nblocks = 0
         tsamp_out = 1.0 / self.obs_out.rate
@@ -552,9 +563,11 @@ class FoldPipeline:
                 if batch and self._division_index(t_out0, batch[0][3]) != \
                         self._division_index(batch[0][3], batch[0][3]):
                     break
-                raw = src.read_samples(start, self.block_in_samples)
-                phi0, dphi = compute_anchors(
-                    self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
+                with rep.stage("read"):
+                    raw = src.read_samples(start, self.block_in_samples)
+                with rep.stage("anchors"):
+                    phi0, dphi = compute_anchors(
+                        self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
                 phi0 = (phi0 - self.config.reference_phase) % 1.0
                 batch.append((raw, phi0, dphi, t_out0))
                 start += self.stride_in_samples
@@ -562,17 +575,22 @@ class FoldPipeline:
                 break
 
             self._maybe_divide(batch[0][3])
-            if len(batch) == 1:
-                raw, phi0, dphi, t_out0 = batch[0]
-                self._profiles, self._hits = self._step(
-                    self._profiles, self._hits, jnp.asarray(raw),
-                    jnp.asarray(phi0), jnp.asarray(dphi))
-            else:
-                raws = jnp.asarray(np.stack([b[0] for b in batch]))
-                p0s = jnp.asarray(np.stack([b[1] for b in batch]))
-                dps = jnp.asarray(np.stack([b[2] for b in batch]))
-                self._profiles, self._hits = self._step_multi(
-                    self._profiles, self._hits, raws, p0s, dps)
+            with rep.stage("device_step"):
+                if len(batch) == 1:
+                    raw, phi0, dphi, t_out0 = batch[0]
+                    self._profiles, self._hits = self._step(
+                        self._profiles, self._hits, jnp.asarray(raw),
+                        jnp.asarray(phi0), jnp.asarray(dphi))
+                else:
+                    raws = jnp.asarray(np.stack([b[0] for b in batch]))
+                    p0s = jnp.asarray(np.stack([b[1] for b in batch]))
+                    dps = jnp.asarray(np.stack([b[2] for b in batch]))
+                    self._profiles, self._hits = self._step_multi(
+                        self._profiles, self._hits, raws, p0s, dps)
+            rep.add_samples(self.stride_in_samples * len(batch))
+            if self.obs_in.rate > 0:
+                rep.progress(start / self.obs_in.rate,
+                             nsamp_total / self.obs_in.rate)
             if self._first_out_time is None:
                 self._first_out_time = batch[0][3]
             self._last_out_time = batch[-1][3] + nuse * tsamp_out
@@ -586,19 +604,25 @@ class FoldPipeline:
 
     def _division_index(self, t: MJD, fallback_ref: MJD) -> int:
         cfg = self.config
+        ref = self._first_out_time or fallback_ref
+        if cfg.subint_turns > 0:
+            # divide on pulse-turn boundaries via the predictor phase
+            # (reference TimeDivide::set_turns, TimeDivide.C); Polyco.phase is
+            # absolute turns in float64 (~1e-6 turn), ample for subints
+            dphi = self.predictor.phase(t) - self.predictor.phase(ref)
+            return int(dphi / cfg.subint_turns)
         if cfg.subint_seconds <= 0:
             return 0
-        ref = self._first_out_time or fallback_ref
         return int((t - ref) / cfg.subint_seconds)
 
     # ---- sub-integration handling (TimeDivide/Subint equivalents) ----
 
     def _maybe_divide(self, t_out0: MJD):
         cfg = self.config
-        if cfg.subint_seconds <= 0 or self._first_out_time is None:
+        if (cfg.subint_seconds <= 0 and cfg.subint_turns <= 0) \
+                or self._first_out_time is None:
             return
-        elapsed = t_out0 - self._first_out_time
-        div = int(elapsed / cfg.subint_seconds)
+        div = self._division_index(t_out0, self._first_out_time)
         if div != self._current_div:
             self._flush_division()
             self._current_div = div

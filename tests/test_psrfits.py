@@ -104,3 +104,70 @@ class TestPsrfitsSearch:
         data = read_bintable_column(out, "SUBINT", "DATA")
         # data should have sensible 8-bit stats (mean near digi_mean 127.5)
         assert 100 < data[:-1].astype(float).mean() < 155
+
+
+class TestPsrfitsInput:
+    def test_read_back_search_file(self, tmp_path):
+        """Write a search-mode PSRFITS, read it back as a Source."""
+        from dspsr_tpu.io.sources import open_source
+        from dspsr_tpu.io.psrfits_in import PsrfitsSearchFile
+
+        src_dada = str(tmp_path / "in.dada")
+        synth_pulsar_dada(src_dada, nsec=0.05)
+        out = str(tmp_path / "rb.sf")
+        cfg = FilConfig(nchan=8, tscrunch_factor=8, nbits=8, block_parts=2)
+        load_to_fits(src_dada, out, cfg)
+
+        s = open_source(out)
+        assert isinstance(s, PsrfitsSearchFile)
+        assert s.obs.nchan == 8
+        assert s.obs.nbit == 8
+        assert s.total_samples > 0
+        a = s.read_samples(0, 100)
+        assert a.shape == (100 * 8,)
+        # spot check against the DATA column read row-wise
+        col = read_bintable_column(out, "SUBINT", "DATA")
+        np.testing.assert_array_equal(a, col.ravel()[: 100 * 8])
+        # crossing into the middle of the (single) row
+        mid = s.nsblk // 2
+        b = s.read_samples(mid - 10, 20)
+        np.testing.assert_array_equal(
+            b, col.ravel()[(mid - 10) * 8 : (mid + 10) * 8])
+
+
+class TestRawHeaderSource:
+    def test_fold_headerless_raw(self, tmp_path):
+        from dspsr_tpu.io.sources import RawFileSource, observation_from_keyvals
+        from test_pipeline import RATE, CF, BW
+
+        p = str(tmp_path / "raw.dat")
+        synth_pulsar_dada(str(tmp_path / "tmp.dada"), nsec=0.05)
+        # strip the header to make a raw file
+        with open(str(tmp_path / "tmp.dada"), "rb") as f:
+            f.seek(4096)
+            payload = f.read()
+        with open(p, "wb") as f:
+            f.write(payload)
+        obs = observation_from_keyvals([
+            f"FREQ={CF}", f"BW={BW}", "NCHAN=1", "NPOL=2", "NDIM=2",
+            "NBIT=8", f"TSAMP={1e6 / RATE}",
+            "UTC_START=2010-04-13-02:05:45", "SOURCE=RAW"])
+        src = RawFileSource(p, obs)
+        assert src.total_samples == len(payload) // 4
+        from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+        res = FoldPipeline(src, FoldConfig(
+            folding_period=PERIOD, dispersion_measure=DM, block_parts=2)).run()
+        assert res.hits.sum() > 0
+
+
+class TestSubintTurns:
+    def test_turn_divisions(self, tmp_path):
+        from dspsr_tpu.models.load_to_fold import FoldConfig, load_to_fold
+        p = str(tmp_path / "turns.dada")
+        synth_pulsar_dada(p, nsec=0.3)
+        # 10 turns of 5 ms = 50 ms per subint over 0.3 s -> ~6 subints
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         subint_turns=10, block_parts=2,
+                         min_block_samples=1 << 16)
+        res = load_to_fold(p, cfg)
+        assert 4 <= res.profiles.shape[0] <= 7, res.profiles.shape
