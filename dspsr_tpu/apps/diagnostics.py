@@ -124,9 +124,112 @@ def digistat(argv=None) -> int:
     return 0
 
 
+def digihist(argv=None) -> int:
+    """Digitizer state histogram per channel/pol (reference ``digihist``;
+    2-bit histograms used for the TwoBitStats archive extension)."""
+    p = argparse.ArgumentParser(prog="digihist-tpu")
+    p.add_argument("file")
+    p.add_argument("-n", "--nsamp", type=int, default=1 << 20)
+    args = p.parse_args(argv)
+
+    from ..utils.platform import configure_from_env
+    configure_from_env()
+    import jax.numpy as jnp
+    from ..io.sources import open_source
+    from ..unpack.unpackers import bytes_to_codes
+
+    src = open_source(args.file)
+    o = src.obs
+    n = min(args.nsamp, src.total_samples)
+    raw = src.read_samples(0, n)
+    codes = np.asarray(bytes_to_codes(jnp.asarray(raw), o.nbit))
+    ndig = o.nchan * o.npol * o.ndim
+    codes = codes.reshape(-1, ndig)
+    nstates = 1 << o.nbit
+    for d in range(ndig):
+        hist = np.bincount(codes[:, d], minlength=nstates)
+        chan = d // (o.npol * o.ndim)
+        pol = (d // o.ndim) % o.npol
+        dim = d % o.ndim
+        print(f"digitizer chan={chan} pol={pol} dim={dim}: "
+              + " ".join(str(int(h)) for h in hist))
+    return 0
+
+
+def digitxt(argv=None) -> int:
+    """Dump unpacked samples as text (reference ``digitxt``)."""
+    p = argparse.ArgumentParser(prog="digitxt-tpu")
+    p.add_argument("file")
+    p.add_argument("-n", "--nsamp", type=int, default=32)
+    p.add_argument("-S", "--skip", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from ..utils.platform import configure_from_env
+    configure_from_env()
+    import jax.numpy as jnp
+    from ..io.sources import open_source
+    from ..unpack.unpackers import UnpackPlan
+
+    src = open_source(args.file)
+    o = src.obs
+    raw = src.read_samples(args.skip, args.nsamp)
+    x, _ = UnpackPlan(o).unpack(jnp.asarray(raw))
+    if isinstance(x, tuple):
+        re, im = np.asarray(x[0]), np.asarray(x[1])
+        for t in range(re.shape[-1]):
+            vals = " ".join(
+                f"{re[c, pl, t]:+.4f}{im[c, pl, t]:+.4f}j"
+                for c in range(o.nchan) for pl in range(o.npol))
+            print(f"{args.skip + t:10d} {vals}")
+    else:
+        d = np.asarray(x)
+        for t in range(d.shape[-1]):
+            vals = " ".join(f"{d[c, pl, t]:+.4f}"
+                            for c in range(o.nchan) for pl in range(o.npol))
+            print(f"{args.skip + t:10d} {vals}")
+    return 0
+
+
+def passband(argv=None) -> int:
+    """Bandpass estimate of undetected data (reference ``passband``;
+    Signal/General/Bandpass.C role).  Prints nchan x npol mean power."""
+    p = argparse.ArgumentParser(prog="passband-tpu")
+    p.add_argument("file")
+    p.add_argument("-F", "--nchan", type=int, default=256)
+    p.add_argument("-n", "--nsamp", type=int, default=1 << 20)
+    args = p.parse_args(argv)
+
+    from ..utils.platform import configure_from_env
+    configure_from_env()
+    import jax.numpy as jnp
+    from ..io.sources import open_source
+    from ..unpack.unpackers import UnpackPlan
+    from ..ops.filterbank import FilterbankPlan, filterbank_block
+    from ..ops.detection import detect_ppqq
+
+    src = open_source(args.file)
+    o = src.obs
+    real = o.state.value == "Nyquist"
+    plan = FilterbankPlan(real_input=real,
+                          nchan_subband=max(args.nchan // o.nchan, 1),
+                          freq_res=1)
+    n = min(args.nsamp, src.total_samples)
+    npart = plan.npart(n)
+    raw = src.read_samples(0, plan.block_ndat(npart))
+    x, _ = UnpackPlan(o).unpack(jnp.asarray(raw))
+    y = filterbank_block(x, plan, npart)
+    bp = np.asarray(detect_ppqq(y)).mean(axis=-1)  # [nchan, npol]
+    nchan_out = bp.shape[0]
+    for c in range(nchan_out):
+        f = o.centre_frequency - 0.5 * o.bandwidth + (c + 0.5) * o.bandwidth / nchan_out
+        print(f"{f:12.4f} " + " ".join(f"{v:.6e}" for v in bp[c]))
+    return 0
+
+
 def main(argv=None) -> int:
     """Dispatcher: python -m dspsr_tpu.apps.diagnostics <tool> [args]."""
-    tools = {"dmsmear": dmsmear, "digihdr": digihdr, "digistat": digistat}
+    tools = {"dmsmear": dmsmear, "digihdr": digihdr, "digistat": digistat,
+             "digihist": digihist, "digitxt": digitxt, "passband": passband}
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in tools:
         print(f"usage: diagnostics {{{','.join(tools)}}} [options]",

@@ -66,7 +66,15 @@ def write_sigproc_header(f: BinaryIO, obs: Observation, nbits: int,
     _put_item(f, "tsamp", 1.0 / obs.rate, "<d")
     _put_item(f, "tstart", obs.start_time.in_days(), "<d")
     if obs.coordinates:
-        pass  # src_raj/src_dej: added when coordinate parsing lands
+        try:
+            from ..timing.skycoord import SkyCoord
+
+            ra, dec = obs.coordinates.split()
+            c = SkyCoord.parse(ra, dec)
+            _put_item(f, "src_raj", c.sigproc_raj(), "<d")
+            _put_item(f, "src_dej", c.sigproc_dej(), "<d")
+        except (ValueError, IndexError):
+            pass
     _put_string(f, "HEADER_END")
 
 

@@ -196,6 +196,12 @@ class FoldPipeline:
         else:
             raise ValueError("need folding_period, polyco_path (or TEMPO integration)")
 
+        if self.ephemeris is not None and not obs.coordinates:
+            raj = self.ephemeris.get("RAJ")
+            decj = self.ephemeris.get("DECJ")
+            if raj and decj:
+                self.obs_in = obs = obs.replace(coordinates=f"{raj} {decj}")
+
         dm = cfg.dispersion_measure
         if dm is None and self.ephemeris is not None:
             dm = self.ephemeris.dm

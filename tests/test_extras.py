@@ -141,3 +141,51 @@ class TestCyclicFold:
         # cyclic spectrum over channels = lag-0 = intensity profile
         prof = spec[0, 0, 0].sum(axis=-1)
         assert abs(prof.argmax() / res.nbin - PULSE_PHASE) < 0.06
+
+
+class TestJonesConvolution:
+    def test_identity_jones_matches_scalar(self, rng):
+        """Identity Jones response == plain convolution per pol."""
+        from dspsr_tpu.ops.convolution import (
+            OverlapSavePlan, overlap_save_convolve, overlap_save_convolve_jones)
+        n_fft, nfp, nfn = 128, 8, 8
+        plan = OverlapSavePlan(False, n_fft, nfp, nfn)
+        npart = 3
+        ndat = plan.block_ndat(npart)
+        x = (rng.standard_normal((1, 2, ndat))
+             + 1j * rng.standard_normal((1, 2, ndat))).astype(np.complex64)
+        one = np.ones((1, n_fft), np.complex64)
+        zero = np.zeros((1, n_fft), np.complex64)
+        y_scalar = c_of(overlap_save_convolve(sc_of(x), sc_of(one), plan, npart))
+        y_jones = c_of(overlap_save_convolve_jones(
+            sc_of(x), (sc_of(one), sc_of(zero), sc_of(zero), sc_of(one)),
+            plan, npart))
+        np.testing.assert_allclose(y_jones, y_scalar, rtol=1e-5, atol=1e-5)
+
+    def test_swap_jones(self, rng):
+        """Anti-diagonal Jones swaps the polarizations."""
+        from dspsr_tpu.ops.convolution import (
+            OverlapSavePlan, overlap_save_convolve_jones)
+        n_fft = 64
+        plan = OverlapSavePlan(False, n_fft, 0, 0)
+        npart = 2
+        ndat = plan.block_ndat(npart)
+        x = (rng.standard_normal((1, 2, ndat))
+             + 1j * rng.standard_normal((1, 2, ndat))).astype(np.complex64)
+        one = np.ones((1, n_fft), np.complex64)
+        zero = np.zeros((1, n_fft), np.complex64)
+        y = c_of(overlap_save_convolve_jones(
+            sc_of(x), (sc_of(zero), sc_of(one), sc_of(one), sc_of(zero)),
+            plan, npart))
+        np.testing.assert_allclose(y[:, 0], x[:, 1, :y.shape[-1]], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(y[:, 1], x[:, 0, :y.shape[-1]], rtol=1e-4, atol=1e-4)
+
+
+class TestSkyCoord:
+    def test_parse_format_roundtrip(self):
+        from dspsr_tpu.timing.skycoord import SkyCoord
+        c = SkyCoord.parse("08:35:20.61149", "-45:10:34.8751")
+        assert c.ra_hms().startswith("08:35:20.61")
+        assert c.dec_dms().startswith("-45:10:34.87")
+        assert abs(c.sigproc_raj() - 83520.61149) < 1e-3
+        assert abs(c.sigproc_dej() - (-451034.8751)) < 1e-3
