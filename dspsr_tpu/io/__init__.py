@@ -6,4 +6,6 @@ Importing this package enrolls all built-in formats in the probe registry
 
 from . import sources  # noqa: F401  (registers DADA/Dummy)
 from . import psrfits_in  # noqa: F401  (registers PSRFITS search input)
+from . import vdif  # noqa: F401  (registers VDIF)
+from . import guppi  # noqa: F401  (registers GUPPI RAW)
 from .sources import open_source, Source, DADAFile, DummySource, MultiFile  # noqa: F401
