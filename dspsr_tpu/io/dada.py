@@ -8,6 +8,7 @@ metadata, followed (in a DADA file) by raw packed samples.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Tuple
 
 from ..observation import Observation, Signal
@@ -68,6 +69,9 @@ def observation_from_header(hdr: Dict[str, str]) -> Observation:
         obs.start_time = MJD.from_utc(utc)
     elif g("MJD_START"):
         obs.start_time = MJD.from_mjd(float(g("MJD_START")))
+    # sub-second start offset (DADA PICOSECONDS convention)
+    if g("PICOSECONDS"):
+        obs.start_time = obs.start_time + float(g("PICOSECONDS")) * 1e-12
 
     obs.source = g("SOURCE", "")
     obs.telescope = g("TELESCOPE", "")
@@ -113,7 +117,11 @@ def header_from_observation(obs: Observation, extra: Dict[str, str] | None = Non
                             instrument: str | None = None) -> Dict[str, str]:
     """Inverse of :func:`observation_from_header` (ASCIIObservation::unload)."""
     tsamp_us = 1e6 / obs.rate if obs.rate > 0 else 0.0
-    utc = _format_utc(obs.start_time)
+    # UTC_START carries whole seconds; the fractional second goes into the
+    # PICOSECONDS key (DADA convention)
+    whole = MJD(obs.start_time.days, math.floor(obs.start_time.secs))
+    picos = (obs.start_time.secs - math.floor(obs.start_time.secs)) * 1e12
+    utc = _format_utc(whole)
     keys = {
         "HDR_VERSION": "1.0",
         "HDR_SIZE": str(DEFAULT_HEADER_SIZE),
@@ -130,6 +138,7 @@ def header_from_observation(obs: Observation, extra: Dict[str, str] | None = Non
         "NBIT": str(obs.nbit),
         "TSAMP": repr(tsamp_us),
         "UTC_START": utc,
+        "PICOSECONDS": str(int(round(picos))),
         "OBS_OFFSET": str(obs.obs_offset),
         "STATE": obs.state.value,
     }
@@ -152,7 +161,7 @@ def _format_utc(t: MJD) -> str:
     day = e - (153 * m + 2) // 5 + 1
     month = m + 3 - 12 * (m // 10)
     year = 100 * b + d - 4800 + m // 10
-    secs = int(round(t.secs))
+    secs = int(round(t.secs))  # callers pass whole seconds
     hh, rem = divmod(secs, 3600)
     mm, ss = divmod(rem, 60)
     return f"{year:04d}-{month:02d}-{day:02d}-{hh:02d}:{mm:02d}:{ss:02d}"

@@ -86,6 +86,10 @@ class FoldConfig:
 
     # observability (-r: per-stage timing report + progress meter)
     report: bool = False
+    #: write the detected (pre-fold) stream to a float32 DADA file that
+    #: FloatUnpacker can re-ingest (reference Dump op, --dump;
+    #: SingleThread.C:315-346 + Unpacker_registry.C:23-25)
+    dump_path: Optional[str] = None
 
     # unpacking
     twos_complement: bool = False
@@ -466,6 +470,8 @@ class FoldPipeline:
         nchan, npol = d.shape[0], d.shape[1]
         ndat_out = d.shape[2]
         nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len
+        dump = (jnp.transpose(d[..., :nuse], (2, 0, 1)).astype(jnp.float32)
+                if self.config.dump_path else None)
         weights = self._stream_weights(w, nchan, nuse)
         if self.sk_plan is not None:
             if isinstance(y, tuple):
@@ -480,8 +486,11 @@ class FoldPipeline:
                 skw = jnp.concatenate(
                     [skw, jnp.ones((nchan, pad), jnp.float32)], axis=-1)
             weights = weights * skw[:, :nuse]
-        return fold_block(
+        out = fold_block(
             profiles, hits, d[..., :nuse], weights, phi0, dphi, self.fold_plan)
+        if dump is not None:
+            return (*out, dump)
+        return out
 
     def _stream_weights(self, w, nchan, nuse):
         """Map unpacker block weights onto output samples.
@@ -584,9 +593,14 @@ class FoldPipeline:
             with rep.stage("device_step"):
                 if len(batch) == 1:
                     raw, phi0, dphi, t_out0 = batch[0]
-                    self._profiles, self._hits = self._step(
+                    res = self._step(
                         self._profiles, self._hits, jnp.asarray(raw),
                         jnp.asarray(phi0), jnp.asarray(dphi))
+                    if self.config.dump_path:
+                        self._profiles, self._hits, dumped = res
+                        self._write_dump(np.asarray(dumped))
+                    else:
+                        self._profiles, self._hits = res
                 else:
                     raws = jnp.asarray(np.stack([b[0] for b in batch]))
                     p0s = jnp.asarray(np.stack([b[1] for b in batch]))
@@ -607,6 +621,24 @@ class FoldPipeline:
 
         self._flush_division()
         return self._finish()
+
+    def _write_dump(self, tfp: np.ndarray):
+        """Append TFP float32 samples to the dump DADA file (Dump op)."""
+        import os
+
+        from ..io.dada import format_ascii_header, header_from_observation
+
+        path = self.config.dump_path
+        if not os.path.exists(path):
+            # the detected stream starts at the output-domain epoch (incl.
+            # the nfilt_pos shift) and its blocks are nuse samples each
+            obs = self.obs_out.replace(nbit=32,
+                                       start_time=self.output_start_time(0))
+            hdr = header_from_observation(obs, extra={"DUMP": "detected"})
+            with open(path, "wb") as f:
+                f.write(format_ascii_header(hdr))
+        with open(path, "ab") as f:
+            f.write(tfp.tobytes())
 
     def _division_index(self, t: MJD, fallback_ref: MJD) -> int:
         cfg = self.config

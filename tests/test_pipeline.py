@@ -245,3 +245,33 @@ class TestFourthMoment:
         assert np.all(i2 >= ii**2 * 0.999)
         # the pulse appears in I
         assert abs(ii.argmax() / res.nbin - PULSE_PHASE) < 0.03
+
+
+class TestDump:
+    def test_dump_reingest(self, pulsar_file, tmp_path):
+        """--dump writes a float32 DADA of the detected stream that the
+        pipeline can re-ingest (FloatUnpacker path) and fold identically."""
+        dump = str(tmp_path / "detected.dump")
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         block_parts=2, dump_path=dump)
+        res1 = load_to_fold(pulsar_file, cfg)
+        import os
+        assert os.path.exists(dump)
+
+        # re-ingest the dump: fold the already-detected float stream
+        cfg2 = FoldConfig(folding_period=PERIOD, dispersion_measure=0.0,
+                          coherent=False, nbin=res1.nbin,
+                          min_block_samples=1 << 16)
+        res2 = load_to_fold(dump, cfg2)
+        p1 = res1.normalized()[0, 0, 0]
+        p2 = res2.normalized()[0, 0, 0]
+        # fixed-period folding references phase 0 to each file's own start
+        # (as the reference's -c does), so the dump's nfilt_pos start shift
+        # appears as a constant phase offset between the two runs
+        from dspsr_tpu.io.sources import open_source
+        shift = (((open_source(dump).obs.start_time
+                   - open_source(pulsar_file).obs.start_time) / PERIOD) % 1.0)
+        expect = (p1.argmax() / res1.nbin - shift) % 1.0
+        got = p2.argmax() / res2.nbin
+        err = min(abs(got - expect), 1 - abs(got - expect))
+        assert err < 0.02, (got, expect)
