@@ -189,3 +189,30 @@ class TestSkyCoord:
         assert c.dec_dms().startswith("-45:10:34.87")
         assert abs(c.sigproc_raj() - 83520.61149) < 1e-3
         assert abs(c.sigproc_dej() - (-451034.8751)) < 1e-3
+
+
+class TestAutocorrelation:
+    def test_tone_spectrum(self):
+        from dspsr_tpu.ops.autocorrelation import autocorrelation, acf_spectra
+        nlag = 17
+        n = 8192
+        f = 0.125  # cycles/sample
+        x = np.exp(2j * np.pi * f * np.arange(n)).astype(np.complex64)
+        acf = autocorrelation(sc_of(x[None, None, :]), nlag)
+        spec = acf_spectra(acf)[0, 0]
+        nfull = 2 * (nlag - 1)
+        # natural order: bin k ~ freq -1/2 + k/nfull; tone at 0.125
+        expect_bin = int(round((f + 0.5) * nfull))
+        assert spec.argmax() == expect_bin
+        # ACF of a pure tone: |acf[l]| = 1 for all lags
+        mag = np.abs(c_of(acf))[0, 0]
+        np.testing.assert_allclose(mag, 1.0, atol=1e-5)
+
+    def test_acf_filterbank_time_resolved(self, rng):
+        from dspsr_tpu.ops.autocorrelation import acf_filterbank
+        n = 4096
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        x[: n // 2] *= 10.0  # louder first half
+        out = acf_filterbank(sc_of(x[None, None, :]), 5, 2)
+        p = np.asarray(out[0])[0, 0, :, 0]  # lag-0 power per block
+        assert p[0] > 50 * p[1] / 2  # ~100x power ratio
