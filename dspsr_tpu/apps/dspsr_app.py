@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     # detection
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
                    help="output polns: 1=I 2=PPQQ 4=Stokes")
+    # phase-locked filterbank (reference -G nbin, dspsr.C:345)
+    p.add_argument("-G", "--plfb-bin", type=int, default=0,
+                   help="phase-locked filterbank: phase bins (enables PLFB mode)")
+    p.add_argument("--plfb-chan", type=int, default=0,
+                   help="phase-locked filterbank: channels per input channel "
+                        "(default: auto from period)")
     # subints
     p.add_argument("-L", "--subint", type=float, default=0.0,
                    help="subintegration length (seconds)")
@@ -110,6 +116,9 @@ def main(argv=None) -> int:
               f"nchan {o.nchan} npol {o.npol} nbit {o.nbit} "
               f"rate {o.rate/1e6:.3f} Msamp/s", file=sys.stderr)
 
+    if args.plfb_bin:
+        return _run_plfb(args, src)
+
     pipe = FoldPipeline(src, cfg)
     if not args.quiet:
         print(f"dspsr-tpu: folding {pipe.nbin} bins, period {pipe.folding_period*1e3:.6f} ms, "
@@ -122,6 +131,45 @@ def main(argv=None) -> int:
         nsub = res.profiles.shape[0]
         print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "
               f"{float(res.integration_length.sum()):.3f} s integrated)",
+              file=sys.stderr)
+    return 0
+
+
+def _run_plfb(args, src) -> int:
+    """Phase-locked filterbank mode (reference -G, LoadToFold1.C:386-430)."""
+    import numpy as np
+    from ..ops.phase_locked import phase_locked_fold
+    from ..timing.polyco import Polyco, FixedPeriodPredictor, SpinPredictor
+    from ..timing.par import Ephemeris
+
+    if args.period:
+        pred = FixedPeriodPredictor(args.period, src.obs.start_time)
+    elif args.polyco:
+        pred = Polyco.load(args.polyco)
+    elif args.ephemeris:
+        pred = SpinPredictor.from_ephemeris(Ephemeris.load(args.ephemeris))
+    else:
+        print("dspsr-tpu: PLFB mode needs -c, -P or -E", file=sys.stderr)
+        return 1
+
+    obs = src.obs
+    max_blocks = None
+    block = 1 << 20
+    if args.total:
+        nsamp = int(args.total * obs.rate)
+        max_blocks = max(1, nsamp // block)
+    res = phase_locked_fold(src, pred, nbin=args.plfb_bin,
+                            nchan=args.plfb_chan, npol_out=args.npol,
+                            block_samples=block, max_blocks=max_blocks)
+    out = args.output or f"{obs.source or 'plfb'}_{obs.start_time.in_days():.4f}_plfb.npz"
+    np.savez(out, spectra=res.spectra, hits=res.hits,
+             nbin=res.plan.nbin, nchan=res.plan.nchan,
+             npol=res.plan.npol_out,
+             centre_frequency=obs.centre_frequency, bandwidth=obs.bandwidth,
+             source=obs.source or "")
+    if not args.quiet:
+        print(f"dspsr-tpu: wrote {out} (PLFB {res.plan.nbin} bins x "
+              f"{res.spectra.shape[0]} chan, {int(res.hits.sum())} spectra)",
               file=sys.stderr)
     return 0
 

@@ -197,8 +197,13 @@ class FoldPipeline:
             self.predictor = FixedPeriodPredictor(cfg.folding_period, obs.start_time)
         elif cfg.polyco_path:
             self.predictor = Polyco.load(cfg.polyco_path)
+        elif self.ephemeris is not None:
+            # no external TEMPO available: evaluate the ephemeris spin model
+            # directly (see SpinPredictor docstring for validity bounds)
+            from ..timing.polyco import SpinPredictor
+            self.predictor = SpinPredictor.from_ephemeris(self.ephemeris)
         else:
-            raise ValueError("need folding_period, polyco_path (or TEMPO integration)")
+            raise ValueError("need folding_period, polyco_path, or ephemeris_path")
 
         if self.ephemeris is not None and not obs.coordinates:
             raj = self.ephemeris.get("RAJ")

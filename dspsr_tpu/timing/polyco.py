@@ -214,3 +214,63 @@ class FixedPeriodPredictor:
         for i, off in enumerate(offsets):
             out[i] = self.fracturns(start + off * tsamp)
         return out
+
+
+class SpinPredictor:
+    """Taylor spin model predictor from pulsar ephemeris parameters.
+
+    phase(t) = F0*dt + F1*dt^2/2 + F2*dt^3/6 with dt = t - PEPOCH, the
+    standard timing spin expansion.  This is the no-TEMPO fallback when only
+    a .par file is given: the reference shells out to TEMPO/TEMPO2 to turn
+    the ephemeris into a polyco (``Fold.C:229-267``); without an external
+    timing package we evaluate the topocentric spin model directly.  Valid
+    when barycentric corrections are negligible or pre-applied (fixed
+    period drift < 1 bin over the integration); for full accuracy supply a
+    polyco (-P).
+    """
+
+    def __init__(self, f0: float, f1: float = 0.0, f2: float = 0.0,
+                 pepoch: MJD | None = None, rphase: float = 0.0):
+        self.f0 = float(f0)
+        self.f1 = float(f1)
+        self.f2 = float(f2)
+        self.pepoch = pepoch or MJD(0, 0.0)
+        self.rphase = float(rphase)
+
+    @classmethod
+    def from_ephemeris(cls, eph) -> "SpinPredictor":
+        f2 = eph.get("F2")
+        return cls(eph.f0, eph.f1, float(f2) if f2 else 0.0, eph.pepoch)
+
+    def phase(self, t: MJD) -> float:
+        dt = t - self.pepoch
+        return self.rphase + dt * (self.f0 + dt * (self.f1 / 2.0 + dt * self.f2 / 6.0))
+
+    def fracturns(self, t: MJD) -> float:
+        # split dt into integer-second + fractional parts to keep precision
+        # (dt can be ~1e8 s; f0*dt overflows float64's 15 digits otherwise
+        # only for ms pulsars far from PEPOCH — split keeps ~1e-6 turns)
+        dsec = t - self.pepoch
+        dint = math.floor(dsec)
+        dfrac = dsec - dint
+        # phase = f0*(dint+dfrac) + f1/2*(dint+dfrac)^2 + ...
+        ph_int = self.f0 * dint
+        ph_rest = (self.f0 * dfrac
+                   + 0.5 * self.f1 * dsec * dsec
+                   + self.f2 * dsec * dsec * dsec / 6.0
+                   + self.rphase)
+        frac = (ph_int - math.floor(ph_int)) + (ph_rest - math.floor(ph_rest))
+        return frac - math.floor(frac)
+
+    def frequency(self, t: MJD) -> float:
+        dt = t - self.pepoch
+        return self.f0 + dt * (self.f1 + dt * self.f2 / 2.0)
+
+    def period(self, t: MJD) -> float:
+        return 1.0 / self.frequency(t)
+
+    def phase_anchors(self, start: MJD, tsamp: float, offsets: Sequence[int]) -> np.ndarray:
+        out = np.empty(len(offsets), dtype=np.float64)
+        for i, off in enumerate(offsets):
+            out[i] = self.fracturns(start + off * tsamp)
+        return out
