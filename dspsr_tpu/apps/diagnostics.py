@@ -8,6 +8,7 @@ Equivalents of the reference diagnostic applications
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 
 import numpy as np
@@ -226,10 +227,153 @@ def passband(argv=None) -> int:
     return 0
 
 
+def digimon(argv=None) -> int:
+    """Digitizer level monitor (reference ``digimon`` +
+    ``Signal/General/LevelMonitor.C:monitor/accumulate_stats/set_thresholds``):
+    iteratively measures per-digitizer (chan,pol,dim) mean and variance and
+    emits ``GAIN ichan ipol idim delta_gain`` / ``LEVEL ichan ipol idim
+    delta_mean`` correction commands until levels are within tolerance.
+    The unpacked levels are BitTable variance-normalized, so the optimal
+    variance is 1.0 (``LevelMonitor.C:95`` get_optimal_variance)."""
+    p = argparse.ArgumentParser(prog="digimon-tpu")
+    p.add_argument("file")
+    p.add_argument("-n", "--integrate", type=int, default=1 << 18,
+                   help="samples per iteration")
+    p.add_argument("-i", "--iterations", type=int, default=0,
+                   help="max iterations (0 = until good/EOD)")
+    p.add_argument("-c", "--consecutive", action="store_true",
+                   help="integrate consecutive blocks (default: stride)")
+    p.add_argument("--var-tolerance", type=float, default=0.01)
+    p.add_argument("--mean-tolerance", type=float, default=0.01)
+    args = p.parse_args(argv)
+
+    from ..utils.platform import configure_from_env
+    configure_from_env()
+    import jax.numpy as jnp
+    from ..io.sources import open_source
+    from ..unpack.unpackers import UnpackPlan
+
+    src = open_source(args.file)
+    o = src.obs
+    plan = UnpackPlan(o)
+    optimal_variance = 1.0
+    n = args.integrate
+    pos = 0
+    it = 0
+    while (not args.iterations or it < args.iterations):
+        if pos + n > src.total_samples:
+            break
+        raw = src.read_samples(pos, n)
+        x, _w = plan.unpack(jnp.asarray(raw))
+        if isinstance(x, tuple):
+            data = np.stack([np.asarray(x[0]), np.asarray(x[1])], axis=-1)
+        else:
+            data = np.asarray(x)[..., None]  # [nchan, npol, ndat, ndim]
+        mean = data.mean(axis=2)  # [nchan, npol, ndim]
+        var = data.var(axis=2)
+        far_from_good = False
+        all_good = True
+        for ic in range(mean.shape[0]):
+            for ip in range(mean.shape[1]):
+                for idim in range(mean.shape[2]):
+                    v, m = var[ic, ip, idim], mean[ic, ip, idim]
+                    if v <= 0:
+                        continue
+                    dvar = abs(v - optimal_variance)
+                    if dvar >= args.var_tolerance:
+                        all_good = False
+                        if dvar > 5 * args.var_tolerance:
+                            far_from_good = True
+                        delta_gain = math.sqrt(optimal_variance / v)
+                        print(f"GAIN {ic} {ip} {idim} {delta_gain:.6f}")
+                    if not far_from_good and abs(m) > args.mean_tolerance:
+                        all_good = False
+                        print(f"LEVEL {ic} {ip} {idim} {m:.6f}")
+        sys.stdout.flush()
+        if all_good or not far_from_good:
+            # matches LevelMonitor::monitor: return once not far_from_good
+            break
+        pos += n if args.consecutive else 4 * n
+        it += 1
+    return 0
+
+
+def load_bits(argv=None) -> int:
+    """Dump raw sample bits to stdout (reference
+    ``Kernel/Applications/load_bits.C``): each byte printed MSB-first as
+    '0'/'1' characters, one byte per line group."""
+    p = argparse.ArgumentParser(prog="load-bits-tpu")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-n", "--nbytes", type=int, default=1024,
+                   help="bytes to dump per file")
+    p.add_argument("-S", "--skip", type=int, default=0, help="bytes to skip")
+    args = p.parse_args(argv)
+
+    from ..io.sources import open_source
+
+    for path in args.files:
+        src = open_source(path)
+        bps = src.bytes_per_sample_exact()
+        s0 = args.skip // bps
+        nsamp = -(-args.nbytes // bps)
+        raw = src.read_samples(s0, min(nsamp, src.total_samples - s0))
+        raw = raw[: args.nbytes]
+        bits = np.unpackbits(raw.reshape(-1, 1), axis=1)  # MSB first
+        for row in bits:
+            print("".join("1" if b else "0" for b in row))
+    return 0
+
+
+def cbird(argv=None) -> int:
+    """Bandpass birdie lister (reference ``Signal/General/cbird.C``):
+    median-filter the bandpass with a window of ``-w`` (fraction of nchan),
+    flag channels deviating more than ``-t`` sigma from the smoothed
+    bandpass, print the birdie channel list."""
+    p = argparse.ArgumentParser(prog="cbird-tpu")
+    p.add_argument("bandpass",
+                   help="bandpass file: text rows of 'freq pow [pow...]' "
+                        "(the passband-tpu output) or .npz with freq/power")
+    p.add_argument("-t", "--threshold", type=float, default=4.0,
+                   help="threshold in sigma (default 4)")
+    p.add_argument("-w", "--window", type=float, default=0.01,
+                   help="median window as a fraction of nchan (default 0.01)")
+    p.add_argument("-o", "--output", default=None,
+                   help="write birdie list here instead of stdout")
+    args = p.parse_args(argv)
+
+    if args.bandpass.endswith(".npz"):
+        d = np.load(args.bandpass)
+        freq, power = d["freq"], d["power"]
+    else:
+        rows = np.loadtxt(args.bandpass, ndmin=2)
+        freq, power = rows[:, 0], rows[:, 1:].sum(axis=1)
+    nchan = len(power)
+    win = max(3, int(args.window * nchan) | 1)  # odd
+    half = win // 2
+    padded = np.pad(power, half, mode="edge")
+    smooth = np.median(
+        np.lib.stride_tricks.sliding_window_view(padded, win), axis=-1)
+    resid = power - smooth
+    sigma = 1.4826 * np.median(np.abs(resid - np.median(resid)))  # MAD
+    bird = np.flatnonzero(np.abs(resid) > args.threshold * max(sigma, 1e-30))
+    out = sys.stdout if not args.output else open(args.output, "w")
+    try:
+        for c in bird:
+            print(f"{c} {freq[c]:.6f} {resid[c]/max(sigma,1e-30):.2f}",
+                  file=out)
+    finally:
+        if args.output:
+            out.close()
+    print(f"cbird: {len(bird)}/{nchan} birdie channels "
+          f"(threshold {args.threshold} sigma, window {win})", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     """Dispatcher: python -m dspsr_tpu.apps.diagnostics <tool> [args]."""
     tools = {"dmsmear": dmsmear, "digihdr": digihdr, "digistat": digistat,
-             "digihist": digihist, "digitxt": digitxt, "passband": passband}
+             "digihist": digihist, "digitxt": digitxt, "passband": passband,
+             "digimon": digimon, "load_bits": load_bits, "cbird": cbird}
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in tools:
         print(f"usage: diagnostics {{{','.join(tools)}}} [options]",

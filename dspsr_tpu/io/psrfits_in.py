@@ -153,3 +153,127 @@ class PsrfitsSearchFile(Source):
                     buf, np.uint8)
                 filled += take
         return out
+
+
+# ---------------------------------------------------------------------------
+# Fold-mode PSRFITS reading (archives written by save_psrfits_fold or by the
+# reference Archiver -> Pulsar::Archive; reference reads these via PSRCHIVE,
+# Signal/Pulsar/Archiver.C:162-293 describes the layout being inverted here).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field as _field
+
+
+@dataclass
+class FoldArchive:
+    """In-memory fold-mode archive: denormalized profiles + metadata."""
+
+    profiles: np.ndarray          # float64 [nsub, nchan, npol, nbin]
+    weights: np.ndarray           # float32 [nsub, nchan] (DAT_WTS)
+    freqs: np.ndarray             # float64 [nchan] MHz (DAT_FREQ row 0)
+    tsubint: np.ndarray           # float64 [nsub] seconds
+    offs_sub: np.ndarray          # float64 [nsub] mid-time offsets (s)
+    period: float
+    dm: float
+    start_time: MJD
+    centre_frequency: float
+    bandwidth: float
+    source: str
+    telescope: str
+    pol_type: str
+
+    @property
+    def nsub(self): return self.profiles.shape[0]
+
+    @property
+    def nchan(self): return self.profiles.shape[1]
+
+    @property
+    def npol(self): return self.profiles.shape[2]
+
+    @property
+    def nbin(self): return self.profiles.shape[3]
+
+
+def load_psrfits_fold(path: str) -> FoldArchive:
+    """Read a fold-mode (OBS_MODE PSR/CAL) PSRFITS archive.
+
+    Inverts the SUBINT layout written by ``save_psrfits_fold``: int16 DATA
+    ordered (NPOL, NCHAN, NBIN) bin-fastest per row, denormalized as
+    data*DAT_SCL + DAT_OFFS per (sub, chan, pol).
+    """
+    hdus = _parse_headers_with_offsets(path)
+    primary = hdus[0][0]
+    mode = primary.get("OBS_MODE", "").strip()
+    if mode not in ("PSR", "CAL"):
+        raise ValueError(f"not a fold-mode PSRFITS file (OBS_MODE={mode!r})")
+    sub = None
+    for cards, off, nbytes in hdus:
+        if cards.get("EXTNAME", "").strip() == "SUBINT":
+            sub = (cards, off, nbytes)
+            break
+    if sub is None:
+        raise ValueError("no SUBINT extension")
+    cards, doff, dbytes = sub
+    nbin = int(cards["NBIN"])
+    nchan = int(cards["NCHAN"])
+    npol = int(cards["NPOL"])
+    nsub = int(cards["NAXIS2"])
+    naxis1 = int(cards["NAXIS1"])
+
+    # column layout walk
+    tfields = int(cards["TFIELDS"])
+    sizes = {"E": 4, "D": 8, "I": 2, "J": 4, "K": 8, "B": 1, "A": 1}
+    dtypes = {"E": ">f4", "D": ">f8", "I": ">i2", "J": ">i4", "K": ">i8",
+              "B": "u1", "A": "S1"}
+    cols = {}
+    offset = 0
+    for i in range(1, tfields + 1):
+        name = cards[f"TTYPE{i}"].strip()
+        tform = cards[f"TFORM{i}"].strip()
+        n = int(tform[:-1] or 1)
+        code = tform[-1]
+        cols[name] = (offset, n, dtypes[code])
+        offset += n * sizes[code]
+
+    raw = np.fromfile(path, dtype=np.uint8, offset=doff, count=dbytes)
+    rows = raw.reshape(nsub, naxis1)
+
+    def col(name):
+        off, n, dt = cols[name]
+        w = n * np.dtype(dt).itemsize
+        return (rows[:, off:off + w].copy().view(np.dtype(dt))
+                .astype(np.dtype(dt).newbyteorder("=")).reshape(nsub, n))
+
+    tsub = col("TSUBINT")[:, 0].astype(np.float64)
+    offs_sub = col("OFFS_SUB")[:, 0].astype(np.float64)
+    try:
+        period = float(col("PERIOD")[0, 0])
+    except KeyError:
+        period = 0.0
+    freqs = col("DAT_FREQ")[0].astype(np.float64)
+    wts = col("DAT_WTS").astype(np.float32)
+    offsv = col("DAT_OFFS").astype(np.float64).reshape(nsub, nchan, npol)
+    scl = col("DAT_SCL").astype(np.float64).reshape(nsub, nchan, npol)
+    data = col("DATA").astype(np.float64).reshape(nsub, npol, nchan, nbin)
+    data = np.transpose(data, (0, 2, 1, 3))  # -> [nsub, nchan, npol, nbin]
+    prof = data * scl[..., None] + offsv[..., None]
+
+    imjd = int(primary.get("STT_IMJD", "0") or 0)
+    smjd = float(primary.get("STT_SMJD", "0") or 0)
+    soffs = float(primary.get("STT_OFFS", "0") or 0)
+    return FoldArchive(
+        profiles=prof,
+        weights=wts,
+        freqs=freqs,
+        tsubint=tsub,
+        offs_sub=offs_sub,
+        period=period,
+        dm=float(cards.get("DM", "0") or 0),
+        start_time=MJD(imjd, smjd + soffs),
+        centre_frequency=float(primary.get("OBSFREQ", "0") or 0),
+        bandwidth=float(primary.get("OBSBW", "0") or 0),
+        source=primary.get("SRC_NAME", ""),
+        telescope=primary.get("TELESCOP", ""),
+        pol_type=cards.get("POL_TYPE", ""),
+    )

@@ -252,3 +252,86 @@ class MultiFile(Source):
             )
             filled += take
         return out
+
+
+@register_format
+class Multiplex(Source):
+    """Round-robin packet interleave of several files into one stream
+    (reference ``Kernel/Classes/Multiplex.C:145-221``: 8192-byte packets are
+    taken from each file in turn — packet k of the logical stream comes from
+    file ``k % nfiles`` at its own packet index ``k // nfiles``).
+
+    Probe accepts an ASCII file listing valid data filenames, one per line
+    (``Multiplex::is_valid``); construct directly with a list of paths
+    otherwise.
+    """
+
+    PACKET = 8192  # bytes per interleave packet (Multiplex.C:156)
+
+    def __init__(self, path_or_paths, packet_bytes: int = PACKET):
+        if isinstance(path_or_paths, str):
+            paths = self._read_list(path_or_paths)
+        else:
+            paths = list(path_or_paths)
+        if not paths:
+            raise ValueError("no files")
+        self.parts = [open_source(p) for p in paths]
+        self.packet = int(packet_bytes)
+        obs0 = self.parts[0].obs
+        bps = obs0.nbytes_per_sample
+        if bps != int(bps):
+            raise ValueError("Multiplex needs integral bytes/sample")
+        # logical payload = sum of whole packets available in every file
+        # (trailing partial packets end the stream, as the reference's
+        # did_load < to_load -> end_of_data)
+        self._file_packets = min(
+            (p.total_samples * int(bps)) // self.packet for p in self.parts)
+        total_bytes = self._file_packets * self.packet * len(self.parts)
+        self.obs = obs0.replace(ndat=total_bytes // int(bps))
+
+    @staticmethod
+    def _read_list(path: str):
+        with open(path, "r") as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    @staticmethod
+    def is_valid(path) -> bool:
+        try:
+            if os.path.getsize(path) > 65536:
+                return False
+            with open(path, "rb") as f:
+                text = f.read().decode("ascii")
+            lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+            return (len(lines) >= 2
+                    and all(os.path.isfile(ln) for ln in lines))
+        except (OSError, UnicodeDecodeError):
+            return False
+
+    @property
+    def total_samples(self) -> int:
+        return self.obs.ndat
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        n = len(self.parts)
+        b0 = start * bps
+        nbytes = nsamp * bps
+        out = np.zeros(nbytes, np.uint8)
+        filled = 0
+        while filled < nbytes:
+            pos = b0 + filled
+            pkt = pos // self.packet
+            if pkt >= self._file_packets * n:
+                break
+            off = pos % self.packet
+            ifile = pkt % n
+            fpkt = pkt // n
+            take = min(nbytes - filled, self.packet - off)
+            # file byte range -> that file's samples
+            fb0 = fpkt * self.packet + off
+            s0, s1 = fb0 // bps, -(-(fb0 + take) // bps)
+            chunk = self.parts[ifile].read_samples(s0, s1 - s0)
+            a0 = fb0 - s0 * bps
+            out[filled:filled + take] = chunk[a0:a0 + take]
+            filled += take
+        return out

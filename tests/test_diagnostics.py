@@ -1,0 +1,92 @@
+"""Diagnostic app tests (dmsmear/digimon/load_bits/cbird equivalents)."""
+
+import numpy as np
+import pytest
+
+from dspsr_tpu.apps import diagnostics
+
+
+def _mkdada(path, payload: bytes, nbit=8, npol=1, ndim=1, nchan=1):
+    hdr = (f"HDR_VERSION 1.0\nHDR_SIZE 4096\nBW 4.0\nFREQ 1400.0\n"
+           f"NCHAN {nchan}\nNPOL {npol}\nNDIM {ndim}\nNBIT {nbit}\n"
+           "TSAMP 0.125\nUTC_START 2010-04-13-02:05:45\nOBS_OFFSET 0\n"
+           "SOURCE DIAG\nTELESCOPE PKS\nINSTRUMENT TEST\n").encode()
+    with open(path, "wb") as f:
+        f.write(hdr + b"\0" * (4096 - len(hdr)))
+        f.write(payload)
+
+
+class TestDigimon:
+    def test_gain_command(self, tmp_path, capsys, rng):
+        # 8-bit stream digitized 3x too quiet: unpacked variance << 1 ->
+        # GAIN ~3; the trim (LEVEL) is held while far from good, matching
+        # LevelMonitor.C:391 "don't bother adjusting the trim..."
+        from dspsr_tpu.unpack.bittable import optimal_spacing
+        d = optimal_spacing(8)
+        sigma_codes = 1.0 / d / 3.0  # 3x too quiet
+        x = rng.normal(8.0, sigma_codes, size=1 << 16)
+        codes = np.clip(np.round(x) + 128, 0, 255).astype(np.uint8)
+        p = str(tmp_path / "quiet.dada")
+        _mkdada(p, codes.tobytes())
+        diagnostics.digimon([p, "-n", "32768", "-i", "2"])
+        out = capsys.readouterr().out.strip().splitlines()
+        gains = [float(l.split()[4]) for l in out if l.startswith("GAIN")]
+        assert gains and 2.0 < gains[0] < 4.5, out
+        assert not any(l.startswith("LEVEL") for l in out), out
+
+    def test_level_command(self, tmp_path, capsys, rng):
+        # correct gain, +5 code offset -> LEVEL line with the unpacked mean
+        from dspsr_tpu.unpack.bittable import optimal_spacing
+        d = optimal_spacing(8)
+        x = rng.normal(5.0, 1.0 / d, size=1 << 16)
+        codes = np.clip(np.round(x) + 128, 0, 255).astype(np.uint8)
+        p = str(tmp_path / "offs.dada")
+        _mkdada(p, codes.tobytes())
+        diagnostics.digimon([p, "-n", "32768", "-i", "2"])
+        out = capsys.readouterr().out.strip().splitlines()
+        levels = [float(l.split()[4]) for l in out if l.startswith("LEVEL")]
+        assert levels and 0.1 < levels[0] < 0.3, out  # 5 codes * d ~ 0.167
+
+    def test_well_set_levels_quiet(self, tmp_path, capsys, rng):
+        from dspsr_tpu.unpack.bittable import optimal_spacing
+        d = optimal_spacing(8)
+        x = rng.normal(0.0, 1.0 / d, size=1 << 16)
+        codes = np.clip(np.round(x) + 128, 0, 255).astype(np.uint8)
+        p = str(tmp_path / "good.dada")
+        _mkdada(p, codes.tobytes())
+        diagnostics.digimon([p, "-n", "32768", "-i", "2",
+                             "--var-tolerance", "0.05",
+                             "--mean-tolerance", "0.05"])
+        out = capsys.readouterr().out
+        assert "GAIN" not in out and "LEVEL" not in out, out
+
+
+class TestLoadBits:
+    def test_bit_dump(self, tmp_path, capsys):
+        payload = bytes([0b10110001, 0b00000000, 0b11111111])
+        p = str(tmp_path / "bits.dada")
+        _mkdada(p, payload + b"\0" * 61)  # pad to whole samples
+        diagnostics.load_bits([p, "-n", "3"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[0] == "10110001"
+        assert lines[1] == "00000000"
+        assert lines[2] == "11111111"
+
+
+class TestCbird:
+    def test_flags_spike(self, tmp_path, capsys):
+        nchan = 256
+        rng = np.random.default_rng(7)
+        freq = np.linspace(1300.0, 1400.0, nchan)
+        power = (1.0 + 0.1 * np.sin(np.arange(nchan) / 17.0)
+                 + rng.normal(0, 0.02, nchan))
+        power[100] = 8.0  # birdie
+        power[200] = 6.0
+        rows = np.column_stack([freq, power])
+        p = str(tmp_path / "band.txt")
+        np.savetxt(p, rows)
+        diagnostics.cbird([p, "-t", "4.0", "-w", "0.05"])
+        out = capsys.readouterr().out.strip().splitlines()
+        chans = [int(l.split()[0]) for l in out]
+        assert 100 in chans and 200 in chans
+        assert len(chans) <= 6  # no mass false positives

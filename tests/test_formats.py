@@ -149,3 +149,48 @@ class TestGuppi:
         res = FoldPipeline(src, cfg).run()
         assert res.hits.sum() > 0
         assert res.obs.nchan == 2
+
+
+class TestMultiplex:
+    def _mkdada(self, path, payload: bytes):
+        hdr = ("HDR_VERSION 1.0\nHDR_SIZE 4096\nBW 1.0\nFREQ 1400.0\n"
+               "NCHAN 1\nNPOL 1\nNDIM 1\nNBIT 8\nTSAMP 1.0\n"
+               "UTC_START 2010-04-13-02:05:45\nOBS_OFFSET 0\nSOURCE MUX\n"
+               "TELESCOPE PKS\nINSTRUMENT TEST\n").encode()
+        with open(path, "wb") as f:
+            f.write(hdr + b"\0" * (4096 - len(hdr)))
+            f.write(payload)
+
+    def test_packet_interleave(self, tmp_path):
+        from dspsr_tpu.io.sources import Multiplex
+        P = Multiplex.PACKET
+        a = str(tmp_path / "a.dada")
+        b = str(tmp_path / "b.dada")
+        # 2.5 packets in A, 3 in B -> 2 whole packets each usable
+        self._mkdada(a, bytes([0xAA]) * (P * 2 + P // 2))
+        self._mkdada(b, bytes([0xBB]) * (P * 3))
+        mux = Multiplex([a, b])
+        assert mux.total_samples == 2 * 2 * P
+        s = mux.read_samples(0, 4 * P)
+        assert set(s[:P]) == {0xAA}
+        assert set(s[P:2 * P]) == {0xBB}
+        assert set(s[2 * P:3 * P]) == {0xAA}
+        assert set(s[3 * P:]) == {0xBB}
+        # unaligned read across a packet boundary
+        t = mux.read_samples(P - 5, 10)
+        assert list(t) == [0xAA] * 5 + [0xBB] * 5
+
+    def test_list_file_probe(self, tmp_path):
+        from dspsr_tpu.io.sources import Multiplex, open_source
+        P = Multiplex.PACKET
+        a = str(tmp_path / "a.dada")
+        b = str(tmp_path / "b.dada")
+        self._mkdada(a, bytes([1]) * P)
+        self._mkdada(b, bytes([2]) * P)
+        lst = str(tmp_path / "files.mux")
+        with open(lst, "w") as f:
+            f.write(a + "\n" + b + "\n")
+        assert Multiplex.is_valid(lst)
+        src = open_source(lst)
+        assert isinstance(src, Multiplex)
+        assert src.total_samples == 2 * P

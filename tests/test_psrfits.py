@@ -171,3 +171,38 @@ class TestSubintTurns:
                          min_block_samples=1 << 16)
         res = load_to_fold(p, cfg)
         assert 4 <= res.profiles.shape[0] <= 7, res.profiles.shape
+
+
+class TestPsrfitsFoldRead:
+    def test_load_fold_archive_roundtrip(self, fold_result, tmp_path):
+        from dspsr_tpu.io.psrfits_in import load_psrfits_fold
+        p = str(tmp_path / "rt.sf")
+        save_psrfits_fold(p, fold_result)
+        arch = load_psrfits_fold(p)
+        assert arch.nsub == fold_result.profiles.shape[0]
+        assert arch.nchan == 4 and arch.npol == 2
+        assert arch.nbin == fold_result.nbin
+        expect = fold_result.normalized()
+        span = expect.max() - expect.min()
+        np.testing.assert_allclose(arch.profiles, expect,
+                                   atol=1e-4 * span + 1e-5)
+        assert abs(arch.period - fold_result.folding_period) < 1e-12
+        assert arch.source == (fold_result.obs.source or "unknown")
+        np.testing.assert_allclose(
+            arch.freqs,
+            [fold_result.obs.centre_frequency_of(i) for i in range(4)])
+
+    def test_load_fold_rejects_search(self, tmp_path):
+        from dspsr_tpu.io.psrfits_in import load_psrfits_fold
+        from dspsr_tpu.io.psrfits import PsrfitsSearchWriter
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+        obs = Observation(nchan=4, npol=1, ndim=1, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-4.0,
+                          rate=1000.0, start_time=MJD.from_mjd(55000.0),
+                          state=Signal.INTENSITY, source="X")
+        p = str(tmp_path / "srch.sf")
+        with PsrfitsSearchWriter(p, obs, nbits=8) as w:
+            w.write_block(np.zeros((16, 4), np.uint8))
+        with pytest.raises(ValueError):
+            load_psrfits_fold(p)
