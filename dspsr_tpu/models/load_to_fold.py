@@ -196,7 +196,12 @@ class FoldPipeline:
         if cfg.folding_period:
             self.predictor = FixedPeriodPredictor(cfg.folding_period, obs.start_time)
         elif cfg.polyco_path:
-            self.predictor = Polyco.load(cfg.polyco_path)
+            # -P accepts either a TEMPO polyco or a TEMPO2 ChebyModelSet
+            # (auto-detected, as Pulsar::Predictor::load does)
+            from ..timing.t2pred import T2Predictor, load_predictor
+            self.predictor = load_predictor(cfg.polyco_path)
+            if isinstance(self.predictor, T2Predictor):
+                self.predictor.obsfreq = obs.centre_frequency
         elif self.ephemeris is not None:
             # no external TEMPO available: evaluate the ephemeris spin model
             # directly (see SpinPredictor docstring for validity bounds)
@@ -216,6 +221,14 @@ class FoldPipeline:
             dm = self.ephemeris.dm
         if dm is None and isinstance(self.predictor, Polyco):
             dm = self.predictor.blocks[0].dm
+        if dm is None:
+            from ..timing.t2pred import T2Predictor
+            if isinstance(self.predictor, T2Predictor) and self.predictor.models:
+                # DISPERSION_CONSTANT = -DM/2.41e-4 * F0 (see t2pred.py)
+                m = self.predictor.models[0]
+                f0 = self.predictor.frequency(obs.start_time)
+                if f0 > 0 and m.dispersion_constant != 0.0:
+                    dm = -m.dispersion_constant * 2.41e-4 / f0
         if dm is None:
             dm = obs.dispersion_measure
         self.dm = float(dm or 0.0)
