@@ -20,6 +20,7 @@ import numpy as np
 
 from . import sc
 from .cyclic import lag_products
+from .mxfft import fft_sc, ifft_sc
 
 SC = sc.SC
 
@@ -65,3 +66,46 @@ def acf_filterbank(x: SC, nlag: int, nblock: int) -> SC:
         return jnp.mean(a.reshape(shape), axis=-1)
 
     return blocks(cr), blocks(ci)
+
+
+@partial(jax.jit, static_argnames=("nchan", "nlag", "form_acf"))
+def ac_filterbank(x: SC, nchan: int, nlag: int = 0,
+                  form_acf: bool = False, window: jnp.ndarray | None = None) -> SC:
+    """Zero-padded lag-domain filterbank (reference ``dsp::ACFilterbank``,
+    ``Signal/General/ACFilterbank.C:40-293``).
+
+    Frames each channel/pol into windows of ``ngood = nchan - nlag`` samples,
+    zero-pads to ``nchan``, FFTs, and forms X * conj(X):
+
+    - ``form_acf=False`` (mode 1): the power spectral density per window —
+      split-complex [nchan_in, npol, nwin, nchan] with zero imaginary part
+      (kept complex for parity with the reference layout, which stores the
+      analytic PSD).
+    - ``form_acf=True`` (mode 2): inverse FFT of the PSD — the non-cyclic
+      autocorrelation function; returns the first ``nlag`` lags as
+      split-complex [nchan_in, npol, nwin, nlag].
+
+    Zero-padding each window by ``nlag`` makes lags < nlag free of cyclic
+    wrap (the docstring contract in ``dsp/ACFilterbank.h:29-35``).
+    ``window``: optional apodization of the ngood data samples.
+    """
+    if nlag <= 0:
+        nlag = nchan // 2
+    ngood = nchan - nlag
+    xr, xi = x
+    nwin = xr.shape[-1] // ngood
+
+    def frame(a):
+        a = a[..., : nwin * ngood].reshape(*a.shape[:-1], nwin, ngood)
+        if window is not None:
+            a = a * window
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, nchan - ngood)]
+        return jnp.pad(a, pad)
+
+    fr, fi = fft_sc((frame(xr), frame(xi)), nchan)
+    # PSD = X conj(X): real |X|^2, imag 0
+    psd = fr * fr + fi * fi
+    if not form_acf:
+        return psd, jnp.zeros_like(psd)
+    ar, ai = ifft_sc((psd, jnp.zeros_like(psd)), nchan)
+    return ar[..., :nlag], ai[..., :nlag]

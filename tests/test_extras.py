@@ -216,3 +216,51 @@ class TestAutocorrelation:
         out = acf_filterbank(sc_of(x[None, None, :]), 5, 2)
         p = np.asarray(out[0])[0, 0, :, 0]  # lag-0 power per block
         assert p[0] > 50 * p[1] / 2  # ~100x power ratio
+
+
+class TestACFilterbank:
+    """dsp::ACFilterbank zero-padded PSD/ACF modes (ACFilterbank.C:40-293)."""
+
+    def _signal(self, n=4096, seed=3):
+        rng = np.random.default_rng(seed)
+        c = rng.standard_normal((1, 1, n)) + 1j * rng.standard_normal((1, 1, n))
+        # narrowband tone so the PSD has structure
+        c += 3.0 * np.exp(2j * np.pi * 0.19 * np.arange(n))
+        return c.astype(np.complex128)
+
+    def test_psd_matches_numpy(self):
+        from dspsr_tpu.ops.autocorrelation import ac_filterbank
+        from dspsr_tpu.ops import sc
+        c = self._signal()
+        nchan, nlag = 64, 32
+        ngood = nchan - nlag
+        x = sc.from_numpy(c)
+        pr, pi = ac_filterbank((jnp.asarray(x[0], jnp.float32),
+                                jnp.asarray(x[1], jnp.float32)), nchan, nlag)
+        nwin = c.shape[-1] // ngood
+        ref = np.empty((1, 1, nwin, nchan))
+        for w in range(nwin):
+            seg = np.zeros(nchan, np.complex128)
+            seg[:ngood] = c[0, 0, w * ngood:(w + 1) * ngood]
+            ref[0, 0, w] = np.abs(np.fft.fft(seg)) ** 2
+        np.testing.assert_allclose(np.asarray(pr), ref, rtol=2e-3, atol=1e-2)
+        assert float(jnp.max(jnp.abs(pi))) == 0.0
+
+    def test_acf_is_noncyclic(self):
+        from dspsr_tpu.ops.autocorrelation import ac_filterbank
+        from dspsr_tpu.ops import sc
+        c = self._signal()
+        nchan, nlag = 64, 32
+        ngood = nchan - nlag
+        x = sc.from_numpy(c)
+        ar, ai = ac_filterbank((jnp.asarray(x[0], jnp.float32),
+                                jnp.asarray(x[1], jnp.float32)), nchan, nlag,
+                               form_acf=True)
+        assert ar.shape[-1] == nlag
+        # lag-l estimate per window equals the direct non-cyclic sum / nchan
+        seg = c[0, 0, :ngood]
+        for lag in (0, 5, 17):
+            direct = np.sum(seg[lag:] * np.conj(seg[:ngood - lag]))
+            # ifft's 1/N cancels the DFT pair: acf[l] = sum_t x[t+l] x*[t]
+            got = complex(ar[0, 0, 0, lag], ai[0, 0, 0, lag])
+            assert abs(got - direct) / max(abs(direct), 1e-9) < 5e-3
