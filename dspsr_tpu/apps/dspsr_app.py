@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold at constant period (seconds)")
     p.add_argument("-P", "--polyco", default=None, help="TEMPO polyco file")
     p.add_argument("-E", "--ephemeris", default=None, help="par file")
+    p.add_argument("--poln-cal", default=None, metavar="CAL",
+                   help="Jones calibration solution (or cal database) for "
+                        "matrix convolution (reference PolnCalibration)")
     p.add_argument("-p", "--phase", type=float, default=0.0,
                    help="reference phase of bin zero")
     # detection
@@ -90,6 +93,7 @@ def main(argv=None) -> int:
         folding_period=args.period,
         polyco_path=args.polyco,
         ephemeris_path=args.ephemeris,
+        calibration_path=args.poln_cal,
         reference_phase=args.phase,
         npol_out=args.npol,
         subint_seconds=args.subint,

@@ -33,7 +33,8 @@ from ..unpack.unpackers import UnpackPlan
 from ..ops import sc
 from ..ops.response import Response, choose_nfft
 from ..ops.dedispersion import Dedispersion
-from ..ops.convolution import OverlapSavePlan, overlap_save_convolve
+from ..ops.convolution import (
+    OverlapSavePlan, overlap_save_convolve, overlap_save_convolve_jones)
 from ..ops.filterbank import FilterbankPlan, filterbank_block, update_observation
 from ..ops.detection import detect
 from ..ops.fold import FoldPlan, fold_block, compute_anchors, choose_nbin
@@ -57,6 +58,9 @@ class FoldConfig:
     folding_period: Optional[float] = None  # -c
     polyco_path: Optional[str] = None  # -P
     ephemeris_path: Optional[str] = None  # -E
+    #: Jones polarization calibration: solution file or cal database
+    #: (reference PolnCalibration + matrix convolution)
+    calibration_path: Optional[str] = None
     reference_phase: float = 0.0  # -p
 
     # detection
@@ -335,6 +339,39 @@ class FoldPipeline:
             self._response_natural = None
             self._response_fftorder = None
 
+        # --- polarization calibration (PolnCalibration.C; matrix
+        # convolution Convolution.C:425-436) ---
+        if cfg.calibration_path:
+            from ..ops.polncal import (
+                PolnCalibration, jones_fft_order, jones_product)
+
+            if self.nchan_subband > 1:
+                raise NotImplementedError(
+                    "Jones calibration inside the convolving filterbank is "
+                    "not supported; calibrate at the input channelization "
+                    "(reference: matrix convolution lives in Convolution)")
+            if obs.npol != 2:
+                raise ValueError("Jones calibration needs npol=2 input")
+            epoch = obs.start_time.days + obs.start_time.fracday()
+            cal = PolnCalibration.load(cfg.calibration_path, epoch_mjd=epoch)
+            if self.conv_plan is None:
+                # pure-calibration convolution (no dedispersion)
+                n_fft = cfg.frequency_resolution or 256
+                self.conv_plan = OverlapSavePlan(real_input, n_fft, 0, 0)
+                self.conv_plan.validate()
+                rate = obs.rate / (2 if real_input else 1)
+                self.obs_stream = obs.replace(
+                    state=Signal.ANALYTIC, ndim=2, rate=rate)
+            jones = cal.match(obs, nchan_out, self.conv_plan.n_fft)
+            scalar = (Response(self.kernel.phasors, nfp, nfn)
+                      if self.kernel is not None else None)
+            resp = jones_product(scalar, jones)
+            self._jones_fftorder = jones_fft_order(
+                resp, complex_input=not real_input)
+            self._response_fftorder = None
+        else:
+            self._jones_fftorder = None
+
         # --- cyclic fold (CyclicFold.C; folds lag products, not power) ---
         if cfg.cyclic_nchan:
             from ..ops.cyclic import CyclicPlan
@@ -471,8 +508,12 @@ class FoldPipeline:
             y = filterbank_block(x, self.fb_plan, self.npart,
                                  self._response_natural, rfi_zap=rfi)
         elif self.conv_plan is not None:
-            y = overlap_save_convolve(
-                x, self._response_fftorder, self.conv_plan, self.npart)
+            if self._jones_fftorder is not None:
+                y = overlap_save_convolve_jones(
+                    x, self._jones_fftorder, self.conv_plan, self.npart)
+            else:
+                y = overlap_save_convolve(
+                    x, self._response_fftorder, self.conv_plan, self.npart)
         else:
             y = x
         if self.cyclic_plan is not None:
