@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold at constant period (seconds)")
     p.add_argument("-P", "--polyco", default=None, help="TEMPO polyco file")
     p.add_argument("-E", "--ephemeris", default=None, help="par file")
+    p.add_argument("--fft-bench", action="store_true",
+                   help="choose FFT length from measured backend timings "
+                        "(reference OptimalFFT)")
     p.add_argument("--poln-cal", default=None, metavar="CAL",
                    help="Jones calibration solution (or cal database) for "
                         "matrix convolution (reference PolnCalibration)")
@@ -94,6 +97,7 @@ def main(argv=None) -> int:
         polyco_path=args.polyco,
         ephemeris_path=args.ephemeris,
         calibration_path=args.poln_cal,
+        use_fft_bench=args.fft_bench,
         reference_phase=args.phase,
         npol_out=args.npol,
         subint_seconds=args.subint,

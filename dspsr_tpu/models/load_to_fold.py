@@ -61,6 +61,9 @@ class FoldConfig:
     #: Jones polarization calibration: solution file or cal database
     #: (reference PolnCalibration + matrix convolution)
     calibration_path: Optional[str] = None
+    #: measure FFT costs on the backend and pick the cheapest length
+    #: (reference --fft-bench -> OptimalFFT; default: analytic model)
+    use_fft_bench: bool = False
     reference_phase: float = 0.0  # -p
 
     # detection
@@ -271,6 +274,10 @@ class FoldPipeline:
                 freq_res = cfg.frequency_resolution
             elif nfilt_tot == 0:
                 freq_res = 1
+            elif cfg.use_fft_bench:
+                from ..utils.optimalfft import OptimalFFT
+                freq_res = OptimalFFT().get_best_ndat(
+                    nfilt_tot, max_nfft=cfg.max_nfft)
             else:
                 freq_res = choose_nfft(nfilt_tot, max_nfft=cfg.max_nfft)
             self.fb_plan = FilterbankPlan(
@@ -285,8 +292,14 @@ class FoldPipeline:
             self.obs_stream = update_observation(obs, self.fb_plan)
             ndat_fft = freq_res
         else:
-            n_fft = cfg.frequency_resolution or choose_nfft(
-                nfilt_tot, max_nfft=cfg.max_nfft)
+            if cfg.frequency_resolution:
+                n_fft = cfg.frequency_resolution
+            elif cfg.use_fft_bench and nfilt_tot > 0:
+                from ..utils.optimalfft import OptimalFFT
+                n_fft = OptimalFFT().get_best_ndat(
+                    nfilt_tot, max_nfft=cfg.max_nfft)
+            else:
+                n_fft = choose_nfft(nfilt_tot, max_nfft=cfg.max_nfft)
             if cfg.coherent and self.dm > 0:
                 self.conv_plan = OverlapSavePlan(real_input, n_fft, nfp, nfn)
                 self.conv_plan.validate()

@@ -264,3 +264,19 @@ class TestACFilterbank:
             # ifft's 1/N cancels the DFT pair: acf[l] = sum_t x[t+l] x*[t]
             got = complex(ar[0, 0, 0, lag], ai[0, 0, 0, lag])
             assert abs(got - direct) / max(abs(direct), 1e-9) < 5e-3
+
+
+class TestOptimalFFT:
+    """Measured FFT-length selection (OptimalFFT.C equivalent)."""
+
+    def test_best_ndat_covers_smear_and_caches(self, tmp_path, monkeypatch):
+        import dspsr_tpu.utils.optimalfft as off
+        monkeypatch.setattr(off, "_CACHE_DIR", str(tmp_path))
+        bench = off.FFTBench(batch=2, trials=1)
+        opt = off.OptimalFFT(bench)
+        n = opt.get_best_ndat(nfilt_tot=100, max_nfft=1 << 14)
+        assert n > 100 and (n & (n - 1)) == 0
+        # second bench instance reads the cache file, no re-timing
+        bench2 = off.FFTBench(batch=2, trials=1)
+        assert bench2._table == bench._table and bench2._table
+        assert opt.compute_cost(n, 100) > 0
