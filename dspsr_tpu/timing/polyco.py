@@ -161,7 +161,18 @@ class Polyco:
         pool = covering or self.blocks
         if not pool:
             raise ValueError("empty polyco")
-        return min(pool, key=lambda b: abs(t - b.tmid))
+        best = min(pool, key=lambda b: abs(t - b.tmid))
+        if not covering:
+            # tolerate modest overshoot past the span edge (TEMPO spans are
+            # generated to bracket the observation, but edges can clip); a
+            # gross extrapolation would return silent garbage phase, so
+            # refuse it like the reference predictor does
+            overshoot = abs(t - best.tmid) - best.span_minutes * 60.0 / 2.0
+            if overshoot > best.span_minutes * 60.0 / 2.0:
+                raise ValueError(
+                    f"MJD {t} is {overshoot/60.0:.1f} min outside every "
+                    f"polyco span (nearest tmid {best.tmid})")
+        return best
 
     # ---- Predictor interface (reference Pulsar::Predictor) ----
 
@@ -230,23 +241,38 @@ class SpinPredictor:
     """
 
     def __init__(self, f0: float, f1: float = 0.0, f2: float = 0.0,
-                 pepoch: MJD | None = None, rphase: float = 0.0):
+                 pepoch: MJD | None = None, rphase: float = 0.0,
+                 binary=None):
         self.f0 = float(f0)
         self.f1 = float(f1)
         self.f2 = float(f2)
         self.pepoch = pepoch or MJD(0, 0.0)
         self.rphase = float(rphase)
+        #: optional orbital model (timing.binary.BTModel/ELL1Model): the spin
+        #: model is evaluated at the emission time t - roemer_delay(t)
+        self.binary = binary
 
     @classmethod
     def from_ephemeris(cls, eph) -> "SpinPredictor":
+        from . import binary as binary_mod
+
         f2 = eph.get("F2")
-        return cls(eph.f0, eph.f1, float(f2) if f2 else 0.0, eph.pepoch)
+        return cls(eph.f0, eph.f1, float(f2) if f2 else 0.0, eph.pepoch,
+                   binary=binary_mod.from_ephemeris(eph))
+
+    def _emission(self, t: MJD) -> MJD:
+        """Emission-frame time: subtract the orbital Roemer delay."""
+        if self.binary is None:
+            return t
+        return t - self.binary.roemer_delay(t)
 
     def phase(self, t: MJD) -> float:
+        t = self._emission(t)
         dt = t - self.pepoch
         return self.rphase + dt * (self.f0 + dt * (self.f1 / 2.0 + dt * self.f2 / 6.0))
 
     def fracturns(self, t: MJD) -> float:
+        t = self._emission(t)
         # split dt into integer-second + fractional parts to keep precision
         # (dt can be ~1e8 s; f0*dt overflows float64's 15 digits otherwise
         # only for ms pulsars far from PEPOCH — split keeps ~1e-6 turns)
@@ -263,8 +289,16 @@ class SpinPredictor:
         return frac - math.floor(frac)
 
     def frequency(self, t: MJD) -> float:
-        dt = t - self.pepoch
-        return self.f0 + dt * (self.f1 + dt * self.f2 / 2.0)
+        dt = self._emission(t) - self.pepoch
+        f = self.f0 + dt * (self.f1 + dt * self.f2 / 2.0)
+        if self.binary is not None:
+            # apparent frequency includes the orbital Doppler factor
+            # (1 - d delay/dt); central difference over 2 s resolves
+            # ddelay/dt ~ 1e-4 to ~1e-10 precision in float64
+            ddot = (self.binary.roemer_delay(t + 1.0)
+                    - self.binary.roemer_delay(t - 1.0)) / 2.0
+            f *= 1.0 - ddot
+        return f
 
     def period(self, t: MJD) -> float:
         return 1.0 / self.frequency(t)
