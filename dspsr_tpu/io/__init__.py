@@ -5,6 +5,7 @@ Importing this package enrolls all built-in formats in the probe registry
 """
 
 from . import sources  # noqa: F401  (registers DADA/Dummy)
+from . import sigproc  # noqa: F401  (registers SIGPROC filterbank input)
 from . import psrfits_in  # noqa: F401  (registers PSRFITS search input)
 from . import vdif  # noqa: F401  (registers VDIF)
 from . import guppi  # noqa: F401  (registers GUPPI RAW)

@@ -157,3 +157,71 @@ class SigProcWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+from .sources import Source, register_format
+
+
+@register_format
+class SigProcFile(Source):
+    """SIGPROC filterbank input: registered format probe + positional reads
+    (reference ``Kernel/Formats/sigproc/SigProcFile.C``).  Data are detected
+    TFP-ordered samples (time-major; per sample: nifs x nchans values)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.items, self.header_bytes = read_sigproc_header(path)
+        self.obs = observation_from_sigproc(path)
+        import os
+
+        data_bits = (os.path.getsize(path) - self.header_bytes) * 8
+        bits_per_samp = self.obs.nchan * self.obs.npol * self.obs.nbit
+        self.obs = self.obs.replace(ndat=data_bits // bits_per_samp)
+        self.obs.obs_offset = 0
+
+    @staticmethod
+    def is_valid(path: str) -> bool:
+        try:
+            with open(path, "rb") as f:
+                head = f.read(16)
+            return head[:4] == b"\x0c\x00\x00\x00" and head[4:16] == b"HEADER_START"
+        except OSError:
+            return False
+
+    @property
+    def total_samples(self) -> int:
+        return self.obs.ndat
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        o = self.obs
+        bits_per_samp = o.nchan * o.npol * o.nbit
+        if bits_per_samp % 8:
+            raise ValueError("sub-byte sample framing not supported")
+        bps = bits_per_samp // 8
+        out = np.zeros(nsamp * bps, np.uint8)
+        if start >= o.ndat:
+            return out
+        navail = min(nsamp, o.ndat - start)
+        with open(self.path, "rb") as f:
+            f.seek(self.header_bytes + start * bps)
+            buf = f.read(navail * bps)
+        out[: len(buf)] = np.frombuffer(buf, np.uint8)
+        return out
+
+    def read_detected(self, start: int, nsamp: int) -> np.ndarray:
+        """Unpack to float32 [ndat, npol, nchan] host-side (diagnostics)."""
+        o = self.obs
+        raw = self.read_samples(start, nsamp)
+        if o.nbit == 32:
+            x = raw.view(np.float32).astype(np.float32)
+        elif o.nbit == 8:
+            x = raw.astype(np.float32)
+        elif o.nbit in (1, 2, 4):
+            vals_per_byte = 8 // o.nbit
+            shifts = np.arange(vals_per_byte, dtype=np.uint8) * o.nbit
+            mask = (1 << o.nbit) - 1
+            x = ((raw[:, None] >> shifts[None, :]) & mask).astype(np.float32)
+            x = x.reshape(-1)
+        else:
+            raise ValueError(f"unsupported sigproc nbit {o.nbit}")
+        return x.reshape(nsamp, o.npol, o.nchan)
