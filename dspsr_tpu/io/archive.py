@@ -64,6 +64,9 @@ def _save_npz(path: str, result: "FoldResult") -> None:
         "nchan": obs.nchan,
         "format": "dspsr_tpu archive-lite v1",
     }
+    if result.signal_path is not None:
+        # op-chain provenance (reference SignalPath/dspReduction extension)
+        meta["signal_path"] = result.signal_path
     np.savez_compressed(
         path,
         profiles=result.profiles.astype(np.float32),

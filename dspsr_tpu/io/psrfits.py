@@ -100,7 +100,45 @@ def save_psrfits_fold(path: str, result: "FoldResult") -> None:
     with open(path, "wb") as f:
         w = FitsWriter(f)
         w.write_primary(_primary_cards(obs, "PSR"))
+        if result.signal_path is not None:
+            _write_history(w, result)
         w.write_bintable("SUBINT", cols, extra)
+
+
+def _write_history(w: "FitsWriter", result: "FoldResult") -> None:
+    """PSRFITS HISTORY table: one row per op of the recorded signal path
+    (the role of PSRCHIVE's ProcHistory extension, which the reference
+    Archiver fills from dspReduction/SignalPath)."""
+    import json
+
+    sp = result.signal_path
+    obs = result.obs
+    nrows = len(sp)
+
+    def cmd(rec):
+        d = dict(rec)
+        name = d.pop("op", "?")
+        args = json.dumps(d, default=str, separators=(",", ":"))
+        return f"{name} {args}"[:256].ljust(256)
+
+    cols = [
+        ("DATE_PRO", "24A", "",
+         np.array([" " * 24] * nrows, dtype="S24")),
+        ("PROC_CMD", "256A", "",
+         np.array([cmd(r) for r in sp], dtype="S256")),
+        ("NCHAN", "1J", "", np.full(nrows, obs.nchan, np.int32)),
+        ("NBIN", "1J", "", np.full(nrows, result.nbin, np.int32)),
+        ("NPOL", "1J", "", np.full(nrows, obs.npol, np.int32)),
+        ("NSUB", "1J", "",
+         np.full(nrows, result.profiles.shape[0], np.int32)),
+        ("CTR_FREQ", "1D", "MHz",
+         np.full(nrows, obs.centre_frequency, np.float64)),
+        ("CHAN_BW", "1D", "MHz",
+         np.full(nrows, obs.chan_bandwidth, np.float64)),
+        ("DM", "1D", "", np.full(nrows, result.dispersion_measure,
+                                 np.float64)),
+    ]
+    w.write_bintable("HISTORY", cols, [])
 
 
 def _pol_type(obs: Observation) -> str:

@@ -134,6 +134,9 @@ class FoldResult:
     cyclic_nlag: int = 0  # >0: profiles hold folded lag planes
     cyclic_mover: int = 1
     cyclic_npol: int = 1
+    #: ordered op-chain provenance (reference SignalPath/dspReduction:
+    #: Kernel/Classes/dsp/SignalPath.h, attached to archives by Archiver)
+    signal_path: Optional[list] = None
 
     def normalized(self) -> np.ndarray:
         """Profiles divided by hits (the archive convention,
@@ -431,6 +434,71 @@ class FoldPipeline:
         self._div_samples = 0.0
         self._first_out_time: Optional[MJD] = None
         self._last_out_time: Optional[MJD] = None
+
+    def signal_path(self) -> list:
+        """Ordered record of the constructed op chain with its resolved
+        parameters (reference ``dsp::SignalPath`` + the dspReduction
+        history the Archiver attaches, ``Kernel/Classes/dsp/SignalPath.h``,
+        ``Signal/Pulsar/Archiver.C``)."""
+        cfg = self.config
+        obs = self.obs_in
+        path: list = [{
+            "op": "Source", "format": obs.format,
+            "file": getattr(self.source, "path", None),
+            "nchan": obs.nchan, "npol": obs.npol, "nbit": obs.nbit,
+        }, {
+            "op": "Unpack", "nbit": obs.nbit,
+            "twos_complement": cfg.twos_complement,
+            "ndat_per_weight": cfg.ndat_per_weight,
+            "cutoff_sigma": cfg.cutoff_sigma,
+        }]
+        if self.kernel is not None:
+            path.append({
+                "op": "Dedispersion", "dm": self.dm,
+                "impulse_pos": self.kernel.impulse_pos,
+                "impulse_neg": self.kernel.impulse_neg,
+                "interchannel_align": cfg.interchannel_align,
+            })
+        if self.fb_plan is not None:
+            path.append({
+                "op": "Filterbank",
+                "nchan_subband": self.fb_plan.nchan_subband,
+                "freq_res": self.fb_plan.freq_res,
+                "convolve_when": "During" if self.kernel is not None else "Never",
+            })
+        if self.conv_plan is not None:
+            path.append({
+                "op": "Convolution", "n_fft": self.conv_plan.n_fft,
+                "matrix": self._jones_fftorder is not None,
+            })
+        if cfg.calibration_path:
+            path.append({"op": "PolnCalibration",
+                         "database": cfg.calibration_path})
+        if cfg.rfi_filter:
+            path.append({"op": "RFIFilter",
+                         "median_width": cfg.rfi_median_width,
+                         "threshold": cfg.rfi_threshold})
+        if self.sk_plan is not None:
+            path.append({"op": "SpectralKurtosis", "m": cfg.sk_m,
+                         "std_devs": cfg.sk_std_devs})
+        if self.cyclic_plan is not None:
+            path.append({"op": "CyclicFold", "nlag": self.cyclic_plan.nlag,
+                         "mover": self.cyclic_plan.mover})
+        else:
+            path.append({"op": "Detection", "state": self.det_state.value})
+        if cfg.fourth_moment:
+            path.append({"op": "FourthMoment"})
+        path.append({
+            "op": "Fold", "nbin": self.nbin,
+            "predictor": type(self.predictor).__name__,
+            "folding_period": self.folding_period,
+            "reference_phase": cfg.reference_phase,
+        })
+        if cfg.subint_seconds > 0 or cfg.subint_turns > 0:
+            path.append({"op": "Subint",
+                         "seconds": cfg.subint_seconds,
+                         "turns": cfg.subint_turns})
+        return path
 
     def _plan_blocks(self):
         cfg = self.config
@@ -771,6 +839,7 @@ class FoldPipeline:
             cyclic_nlag=(self.cyclic_plan.nlag if self.cyclic_plan else 0),
             cyclic_mover=(self.cyclic_plan.mover if self.cyclic_plan else 1),
             cyclic_npol=self.obs_stream.npol if self.cyclic_plan else 1,
+            signal_path=self.signal_path(),
         )
 
 

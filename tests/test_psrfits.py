@@ -52,8 +52,7 @@ class TestPsrfitsFold:
         hdus = read_fits_headers(p)
         assert hdus[0]["FITSTYPE"] == "PSRFITS"
         assert hdus[0]["OBS_MODE"] == "PSR"
-        sub = hdus[1]
-        assert sub["EXTNAME"] == "SUBINT"
+        sub = next(h for h in hdus if h.get("EXTNAME") == "SUBINT")
         assert int(sub["NBIN"]) == fold_result.nbin
         assert int(sub["NCHAN"]) == 4
         assert int(sub["NPOL"]) == 2
@@ -95,8 +94,7 @@ class TestPsrfitsSearch:
         obs = load_to_fits(src, out, cfg)
         hdus = read_fits_headers(out)
         assert hdus[0]["OBS_MODE"] == "SEARCH"
-        sub = hdus[1]
-        assert sub["EXTNAME"] == "SUBINT"
+        sub = next(h for h in hdus if h.get("EXTNAME") == "SUBINT")
         assert int(sub["NCHAN"]) == 16
         assert int(sub["NBITS"]) == 8
         assert int(sub["NSBLK"]) == 4096

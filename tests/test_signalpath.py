@@ -1,0 +1,64 @@
+"""SignalPath provenance recording (reference dsp::SignalPath +
+dspReduction/ProcHistory archive extensions, Kernel/Classes/dsp/SignalPath.h,
+Signal/Pulsar/Archiver.C)."""
+
+import numpy as np
+
+from dspsr_tpu.io.archive import save_archive, load_archive
+from dspsr_tpu.io.psrfits_in import load_psrfits_fold, _parse_headers_with_offsets
+from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+from dspsr_tpu.io.sources import open_source
+
+from test_pipeline import synth_pulsar_dada, PERIOD, DM
+
+
+def _fold(pulsar_path, **cfg_kw):
+    cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                     block_parts=2, **cfg_kw)
+    pipe = FoldPipeline(open_source(pulsar_path), cfg)
+    return pipe, pipe.run()
+
+
+def test_signal_path_records_op_chain(tmp_path):
+    p = synth_pulsar_dada(str(tmp_path / "a.dada"), nsec=0.05)
+    pipe, res = _fold(p, nchan=4, sk_enable=True)
+    ops = [r["op"] for r in res.signal_path]
+    assert ops == ["Source", "Unpack", "Dedispersion", "Filterbank",
+                   "SpectralKurtosis", "Detection", "Fold"]
+    by = {r["op"]: r for r in res.signal_path}
+    assert by["Source"]["file"] == p
+    assert by["Filterbank"]["nchan_subband"] == 4
+    assert by["Filterbank"]["convolve_when"] == "During"
+    assert by["Dedispersion"]["dm"] == DM
+    assert by["Fold"]["nbin"] == res.nbin
+    assert by["Fold"]["predictor"] == "FixedPeriodPredictor"
+
+
+def test_signal_path_in_npz_meta(tmp_path):
+    p = synth_pulsar_dada(str(tmp_path / "a.dada"), nsec=0.05)
+    _, res = _fold(p)
+    out = str(tmp_path / "a.npz")
+    save_archive(out, res)
+    meta = load_archive(out)["meta"]
+    assert [r["op"] for r in meta["signal_path"]][-1] == "Fold"
+
+
+def test_psrfits_history_table(tmp_path):
+    p = synth_pulsar_dada(str(tmp_path / "a.dada"), nsec=0.05)
+    _, res = _fold(p)
+    out = str(tmp_path / "a.sf")
+    save_archive(out, res)
+    # archive still reads back fine with the extra HDU present
+    arch = load_psrfits_fold(out)
+    assert arch.profiles.shape[-1] == res.nbin
+    # HISTORY extension exists with one row per op
+    hdus = _parse_headers_with_offsets(out)
+    hist = [h for h in hdus if h[0].get("EXTNAME", "").strip() == "HISTORY"]
+    assert len(hist) == 1
+    cards, off, nbytes = hist[0]
+    assert int(cards["NAXIS2"]) == len(res.signal_path)
+    raw = np.fromfile(out, np.uint8, offset=off, count=nbytes)
+    rows = raw.reshape(int(cards["NAXIS2"]), int(cards["NAXIS1"]))
+    # PROC_CMD column (offset 24, width 256) names each op
+    cmds = [bytes(r[24:24 + 256]).decode().split()[0] for r in rows]
+    assert cmds[0] == "Source" and cmds[-1] == "Fold"
