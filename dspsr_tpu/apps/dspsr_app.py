@@ -56,6 +56,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--turns", type=int, default=0,
                    help="subintegration length in pulse turns")
     # time selection
+    p.add_argument("-S", "--seek", type=float, default=0.0,
+                   help="skip this many seconds of input (reference -S)")
+    p.add_argument("-K", "--interchannel-align", action="store_true",
+                   help="remove inter-channel dispersion delays in the chirp")
+    p.add_argument("-4", "--fourth-moment", dest="fourth_moment",
+                   action="store_true",
+                   help="fold fourth-order moments (requires -d 4)")
+    p.add_argument("--cyclic", type=int, default=0, metavar="N",
+                   help="cyclic spectroscopy with N channels (CyclicFold)")
+    p.add_argument("--cyclic-mover", type=int, default=1,
+                   help="cyclic oversampling factor")
+    p.add_argument("--dump", default=None, metavar="FILE",
+                   help="tap the detected stream to a float32 DADA file")
+    p.add_argument("-U", "--ram-mb", type=float, default=None,
+                   help="block sample budget from a RAM figure in MB")
     p.add_argument("-T", "--total", type=float, default=None,
                    help="process only this many seconds")
     # RFI
@@ -109,6 +124,14 @@ def main(argv=None) -> int:
         sk_std_devs=args.skzs,
         sk_no_tscr=args.skz_no_tscr,
         sk_no_fscr=args.skz_no_fscr,
+        seek_seconds=args.seek,
+        interchannel_align=args.interchannel_align,
+        fourth_moment=args.fourth_moment,
+        cyclic_nchan=args.cyclic,
+        cyclic_mover=args.cyclic_mover,
+        dump_path=args.dump,
+        **({"min_block_samples": int(args.ram_mb * 1e6 / 4)}
+           if args.ram_mb else {}),
     )
 
     if args.header:

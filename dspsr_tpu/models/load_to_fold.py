@@ -77,6 +77,9 @@ class FoldConfig:
     cyclic_nchan: int = 0  # cyclic channels per input channel (0 = off)
     cyclic_mover: int = 1  # oversampling factor
 
+    # input windowing (reference -S; SingleThread.C:694-719)
+    seek_seconds: float = 0.0
+
     # subints
     subint_seconds: float = 0.0  # -L
     subint_turns: int = 0  # --turns: divide by pulse turns (TimeDivide)
@@ -516,7 +519,11 @@ class FoldPipeline:
             # yield a full block) nor beyond a subint (so -L granularity
             # holds at block level)
             want = -(-cfg.min_block_samples // p.nsamp_step)
-            cap = p.npart(self.source.total_samples)
+            avail = self.source.total_samples
+            if cfg.seek_seconds > 0 and self.obs_in.rate > 0:
+                avail = max(avail - int(cfg.seek_seconds * self.obs_in.rate),
+                            p.block_ndat(1))
+            cap = p.npart(avail)
             if cfg.subint_seconds > 0 and self.obs_in.rate > 0:
                 sub_samps = int(cfg.subint_seconds * self.obs_in.rate)
                 cap = min(cap, max(p.npart(sub_samps), 1))
@@ -689,20 +696,27 @@ class FoldPipeline:
         return nfp / self.obs_out.rate
 
     def run(self, max_blocks: Optional[int] = None,
-            total_seconds: Optional[float] = None) -> FoldResult:
+            total_seconds: Optional[float] = None,
+            seek_seconds: Optional[float] = None) -> FoldResult:
         """Stream all blocks through the device step; returns the result.
 
-        total_seconds limits input consumed (reference -T).
+        total_seconds limits input consumed (reference -T);
+        seek_seconds skips that much input first (reference -S,
+        ``SingleThread.C:694-719``).
         """
         from ..utils.report import RunReport
 
         src = self.source
+        if seek_seconds is None:
+            seek_seconds = self.config.seek_seconds
+        seek = int(seek_seconds * self.obs_in.rate) if seek_seconds else 0
         nsamp_total = src.total_samples
         if total_seconds is not None:
-            nsamp_total = min(nsamp_total, int(total_seconds * self.obs_in.rate))
+            nsamp_total = min(nsamp_total,
+                              seek + int(total_seconds * self.obs_in.rate))
 
         rep = RunReport(enabled=self.config.report)
-        start = 0
+        start = seek
         nblocks = 0
         tsamp_out = 1.0 / self.obs_out.rate
         nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len

@@ -62,3 +62,19 @@ def test_psrfits_history_table(tmp_path):
     # PROC_CMD column (offset 24, width 256) names each op
     cmds = [bytes(r[24:24 + 256]).decode().split()[0] for r in rows]
     assert cmds[0] == "Source" and cmds[-1] == "Fold"
+
+
+def test_seek_seconds_skips_input(tmp_path):
+    """-S equivalent: seek skips input and shifts the subint epoch."""
+    p = synth_pulsar_dada(str(tmp_path / "s.dada"), nsec=0.5)
+    cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                     block_parts=2)
+    pipe_full = FoldPipeline(open_source(p), cfg)
+    full = pipe_full.run()
+    import dataclasses
+    cfg_seek = dataclasses.replace(cfg, seek_seconds=0.25)
+    pipe_seek = FoldPipeline(open_source(p), cfg_seek)
+    seek = pipe_seek.run()
+    assert 0 < seek.integration_length.sum() <= full.integration_length.sum()
+    dt = (seek.epochs[0] - full.epochs[0])
+    assert 0.2 < dt < 0.3  # epoch advanced by ~the seek
