@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="FFT windows per device block")
     p.add_argument("-O", "--output", default=None,
                    help="output archive filename (default: <source>_<MJD>.npz)")
+    p.add_argument("--repeat", type=int, nargs="?", const=0, default=None,
+                   metavar="N",
+                   help="soak mode: reprocess the input N times (no N = "
+                        "forever; reference --repeat, SingleThread.C:456-487)")
     p.add_argument("-r", "--report", action="store_true",
                    help="print per-stage timing report")
     p.add_argument("--header", nargs="+", default=None, metavar="KEY=VAL",
@@ -155,14 +159,24 @@ def main(argv=None) -> int:
         print(f"dspsr-tpu: folding {pipe.nbin} bins, period {pipe.folding_period*1e3:.6f} ms, "
               f"DM {pipe.dm}, nchan_out {pipe.obs_out.nchan}", file=sys.stderr)
 
-    res = pipe.run(total_seconds=args.total)
-    out = args.output or filename_epoch(res)
-    save_archive(out, res)
-    if not args.quiet:
-        nsub = res.profiles.shape[0]
-        print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "
-              f"{float(res.integration_length.sum()):.3f} s integrated)",
-              file=sys.stderr)
+    ipass = 0
+    while True:
+        res = pipe.run(total_seconds=args.total)
+        out = args.output or filename_epoch(res)
+        if args.repeat is not None and ipass > 0:
+            root, dot, ext = out.rpartition(".")
+            out = f"{root}_r{ipass}{dot}{ext}" if dot else f"{out}_r{ipass}"
+        save_archive(out, res)
+        if not args.quiet:
+            nsub = res.profiles.shape[0]
+            print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "
+                  f"{float(res.integration_length.sum()):.3f} s integrated)",
+                  file=sys.stderr)
+        ipass += 1
+        if args.repeat is None or (args.repeat > 0 and ipass > args.repeat):
+            break
+        # soak pass: fresh accumulators over the same (reopened) input
+        pipe = FoldPipeline(src, cfg)
     return 0
 
 

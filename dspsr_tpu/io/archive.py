@@ -67,8 +67,7 @@ def _save_npz(path: str, result: "FoldResult") -> None:
     if result.signal_path is not None:
         # op-chain provenance (reference SignalPath/dspReduction extension)
         meta["signal_path"] = result.signal_path
-    np.savez_compressed(
-        path,
+    arrays = dict(
         profiles=result.profiles.astype(np.float32),
         hits=result.hits.astype(np.float32),
         epochs_mjd=np.array([e.in_days() for e in result.epochs]),
@@ -76,6 +75,11 @@ def _save_npz(path: str, result: "FoldResult") -> None:
         freqs_mhz=freqs,
         meta=json.dumps(meta),
     )
+    if result.digitizer_counts is not None:
+        # DigitiserCounts equivalent (reference ArchiverExtensions.C)
+        arrays["digitizer_counts"] = np.asarray(result.digitizer_counts,
+                                                np.int64)
+    np.savez_compressed(path, **arrays)
 
 
 def load_archive(path: str) -> dict:

@@ -102,6 +102,13 @@ def save_psrfits_fold(path: str, result: "FoldResult") -> None:
         w.write_primary(_primary_cards(obs, "PSR"))
         if result.signal_path is not None:
             _write_history(w, result)
+        if result.digitizer_counts is not None:
+            # DIG_CNTS-style extension (PSRCHIVE DigitiserCounts)
+            dc = np.asarray(result.digitizer_counts, np.int64)
+            w.write_bintable("DIG_CNTS", [
+                ("DATA", f"{len(dc)}K", "", dc.reshape(1, -1)),
+            ], [("NLEV", len(dc), "digitizer states"),
+                ("DIGLEV", "FIX", "")])
         w.write_bintable("SUBINT", cols, extra)
 
 

@@ -29,7 +29,7 @@ from ..timing.mjd import MJD
 from ..timing.polyco import Polyco, FixedPeriodPredictor
 from ..timing.par import Ephemeris
 from ..io.sources import Source, open_source
-from ..unpack.unpackers import UnpackPlan
+from ..unpack.unpackers import UnpackPlan, state_counts_from_byte_counts
 from ..ops import sc
 from ..ops.response import Response, choose_nfft
 from ..ops.dedispersion import Dedispersion
@@ -96,6 +96,10 @@ class FoldConfig:
 
     # observability (-r: per-stage timing report + progress meter)
     report: bool = False
+    #: accumulate digitizer state histograms host-side and attach them to
+    #: the archive (reference HistUnpacker -> TwoBitStats/DigitiserCounts
+    #: extensions, Signal/Pulsar/ArchiverExtensions.C)
+    digitizer_stats: bool = True
     #: write the detected (pre-fold) stream to a float32 DADA file that
     #: FloatUnpacker can re-ingest (reference Dump op, --dump;
     #: SingleThread.C:315-346 + Unpacker_registry.C:23-25)
@@ -140,6 +144,8 @@ class FoldResult:
     #: ordered op-chain provenance (reference SignalPath/dspReduction:
     #: Kernel/Classes/dsp/SignalPath.h, attached to archives by Archiver)
     signal_path: Optional[list] = None
+    #: [2**nbit] digitizer state counts over the run (DigitiserCounts)
+    digitizer_counts: Optional[np.ndarray] = None
 
     def normalized(self) -> np.ndarray:
         """Profiles divided by hits (the archive convention,
@@ -437,6 +443,7 @@ class FoldPipeline:
         self._div_samples = 0.0
         self._first_out_time: Optional[MJD] = None
         self._last_out_time: Optional[MJD] = None
+        self._byte_counts = np.zeros(256, np.int64)
 
     def signal_path(self) -> list:
         """Ordered record of the constructed op chain with its resolved
@@ -734,6 +741,8 @@ class FoldPipeline:
                     break
                 with rep.stage("read"):
                     raw = src.read_samples(start, self.block_in_samples)
+                if self.config.digitizer_stats and self.obs_in.nbit <= 8:
+                    self._byte_counts += np.bincount(raw, minlength=256)
                 with rep.stage("anchors"):
                     phi0, dphi = compute_anchors(
                         self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
@@ -854,6 +863,11 @@ class FoldPipeline:
             cyclic_mover=(self.cyclic_plan.mover if self.cyclic_plan else 1),
             cyclic_npol=self.obs_stream.npol if self.cyclic_plan else 1,
             signal_path=self.signal_path(),
+            digitizer_counts=(
+                state_counts_from_byte_counts(self._byte_counts,
+                                              self.obs_in.nbit)
+                if self.config.digitizer_stats and self.obs_in.nbit <= 8
+                and self._byte_counts.any() else None),
         )
 
 

@@ -209,6 +209,30 @@ def digitizer_histogram(raw: jnp.ndarray, nbit: int, hist_size: int = 0) -> jnp.
     return jnp.sum(onehot, axis=0)
 
 
+def state_counts_from_byte_counts(byte_counts, nbit: int):
+    """[256] byte-value histogram -> [1<<nbit] digitizer state histogram.
+
+    Host-side companion of :func:`digitizer_histogram` for stats that ride
+    the block loop without touching the device step (the role of the
+    reference ``HistUnpacker`` counts that Archiver turns into the
+    TwoBitStats/DigitiserCounts archive extensions).  State totals are
+    independent of field order within the byte.
+    """
+    import numpy as _np
+
+    byte_counts = _np.asarray(byte_counts, _np.int64)
+    nstates = 1 << nbit
+    if nbit == 8:
+        return byte_counts.copy()
+    per = 8 // nbit
+    mask = nstates - 1
+    b = _np.arange(256)
+    out = _np.zeros(nstates, _np.int64)
+    for k in range(per):
+        _np.add.at(out, (b >> (k * nbit)) & mask, byte_counts)
+    return out
+
+
 @dataclass
 class UnpackPlan:
     """Host-side description of how to unpack a stream; builds the tables."""

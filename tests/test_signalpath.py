@@ -78,3 +78,29 @@ def test_seek_seconds_skips_input(tmp_path):
     assert 0 < seek.integration_length.sum() <= full.integration_length.sum()
     dt = (seek.epochs[0] - full.epochs[0])
     assert 0.2 < dt < 0.3  # epoch advanced by ~the seek
+
+
+def test_digitizer_counts_recorded(tmp_path):
+    """HistUnpacker stats -> DigitiserCounts archive extension."""
+    p = synth_pulsar_dada(str(tmp_path / "d.dada"), nsec=0.3)
+    _, res = _fold(p)
+    dc = res.digitizer_counts
+    assert dc is not None and dc.shape == (256,)
+    # counts cover every consumed byte (8-bit input: one state per byte)
+    nblocks_bytes = dc.sum()
+    assert nblocks_bytes > 0
+    # roughly gaussian codes around mid-scale: central mass dominates
+    assert dc[96:160].sum() > 0.8 * nblocks_bytes
+    out = str(tmp_path / "d.npz")
+    save_archive(out, res)
+    a = load_archive(out)
+    np.testing.assert_array_equal(a["digitizer_counts"], dc)
+    # PSRFITS DIG_CNTS extension round-trips
+    sf = str(tmp_path / "d.sf")
+    save_archive(sf, res)
+    hdus = _parse_headers_with_offsets(sf)
+    dig = [h for h in hdus if h[0].get("EXTNAME", "").strip() == "DIG_CNTS"]
+    assert len(dig) == 1
+    cards, off, nbytes = dig[0]
+    vals = np.fromfile(sf, ">i8", offset=off, count=256)
+    np.testing.assert_array_equal(vals, dc)
