@@ -104,3 +104,20 @@ def test_digitizer_counts_recorded(tmp_path):
     cards, off, nbytes = dig[0]
     vals = np.fromfile(sf, ">i8", offset=off, count=256)
     np.testing.assert_array_equal(vals, dc)
+
+
+def test_repeat_soak_writes_sequence_archives(tmp_path, monkeypatch):
+    """--repeat N reprocesses the input N times (reference --repeat,
+    SingleThread.C:456-487)."""
+    from dspsr_tpu.apps.dspsr_app import main
+
+    p = synth_pulsar_dada(str(tmp_path / "r.dada"), nsec=0.05)
+    out = str(tmp_path / "r.npz")
+    assert main([p, "-c", str(PERIOD), "-D", str(DM),
+                 "--repeat", "2", "-O", out, "-q"]) == 0
+    a0 = load_archive(out)
+    a1 = load_archive(str(tmp_path / "r_r1.npz"))
+    a2 = load_archive(str(tmp_path / "r_r2.npz"))
+    # identical input + fresh accumulators -> identical profiles
+    np.testing.assert_array_equal(a0["profiles"], a1["profiles"])
+    np.testing.assert_array_equal(a1["profiles"], a2["profiles"])
