@@ -14,6 +14,7 @@ reference's own figure of merit (wall time vs real time, ``fold.csh:33-36``).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,10 @@ def main():
     )
     obs = obs.replace(ndat=1 << 40)
     src = DummySource(obs)
+    # the execution backend charges a near-flat cost per program execution
+    # (PERF.md): throughput scales with block size until memory limits, so
+    # the bench block floor is large; override via DSPSR_TPU_BENCH_BLOCK
+    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 20))
     cfg = FoldConfig(
         polyco_path="/root/reference/Benchmark/polyco.dat",
         dispersion_measure=2.64,
@@ -46,6 +51,7 @@ def main():
         nbin=1024,
         block_parts=8,
         npol_out=1,
+        min_block_samples=min_block,
     )
     pipe = FoldPipeline(src, cfg)
 
