@@ -5,16 +5,20 @@ Reproduces the reference's headline benchmark configuration
 real-sampled 400 MHz CASPSR baseband of J0437-4715, coherent dedispersion +
 fold) as the TPU convolving-filterbank pipeline: device-side 8-bit unpack ->
 64-channel convolving filterbank (chirp inside the big FFT) -> square-law
-detection -> 1024-bin fold.
+detection -> 1024-bin fold.  The pipeline engages the fused Pallas
+megakernel (ops.megakernel) — one device program per block.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is Msamples/s/chip of raw input samples consumed and vs_baseline is the
-real-time ratio (throughput / 800 Msamp/s, the CASPSR sampling rate) — the
-reference's own figure of merit (wall time vs real time, ``fold.csh:33-36``).
+is the MEDIAN over DSPSR_TPU_BENCH_REPS repetitions of Msamples/s/chip of
+raw input consumed, and vs_baseline is the real-time ratio (throughput /
+800 Msamp/s, the CASPSR sampling rate) — the reference's own figure of merit
+(wall time vs real time, ``fold.csh:33-36``).  The spread (min/max across
+repetitions) rides along for run-to-run stability tracking.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,9 +45,8 @@ def main():
     obs = obs.replace(ndat=1 << 40)
     src = DummySource(obs)
     # the execution backend charges a near-flat cost per program execution
-    # (PERF.md): throughput scales with block size until memory limits, so
-    # the bench block floor is large; override via DSPSR_TPU_BENCH_BLOCK
-    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 20))
+    # (PERF.md): throughput scales with block size until memory limits
+    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 24))
     cfg = FoldConfig(
         polyco_path="/root/reference/Benchmark/polyco.dat",
         dispersion_measure=2.64,
@@ -64,9 +67,16 @@ def main():
     # host->device transfer, not synthetic byte generation)
     raw_np = src.read_samples(0, block)
 
-    profiles = jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol, pipe.nbin),
-                         jnp.float32)
-    hits = jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32)
+    def fresh_acc():
+        if pipe.mega_plan is not None:
+            return (jnp.zeros((pipe.mega_plan.npol_out, pipe.obs_out.nchan,
+                               pipe.nbin), jnp.float32),
+                    jnp.zeros((1, pipe.nbin), jnp.float32))
+        return (jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol, pipe.nbin),
+                          jnp.float32),
+                jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32))
+
+    step = pipe._megastep if pipe.mega_plan is not None else pipe._step
 
     def anchors(iblock):
         t0 = pipe.output_start_time(iblock * stride)
@@ -74,29 +84,41 @@ def main():
                                pipe.fold_plan.seg_len)
 
     # warmup / compile
+    profiles, hits = fresh_acc()
     phi0, dphi = anchors(0)
-    profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
-                                jnp.asarray(phi0), jnp.asarray(dphi))
+    t_c0 = time.perf_counter()
+    profiles, hits = step(profiles, hits, jnp.asarray(raw_np),
+                          jnp.asarray(phi0), jnp.asarray(dphi))
     np.asarray(hits[:1, :1])  # hard sync
+    compile_s = time.perf_counter() - t_c0
 
-    nblocks = 10
-    t0 = time.perf_counter()
-    for b in range(nblocks):
-        phi0, dphi = anchors(b)
-        profiles, hits = pipe._step(profiles, hits, jnp.asarray(raw_np),
-                                    jnp.asarray(phi0), jnp.asarray(dphi))
-    np.asarray(hits[:1, :1])
-    dt = time.perf_counter() - t0
+    reps = int(os.environ.get("DSPSR_TPU_BENCH_REPS", 5))
+    nblocks = int(os.environ.get("DSPSR_TPU_BENCH_NBLOCKS", 6))
+    results = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for b in range(nblocks):
+            phi0, dphi = anchors(b)
+            profiles, hits = step(profiles, hits, jnp.asarray(raw_np),
+                                  jnp.asarray(phi0), jnp.asarray(dphi))
+        np.asarray(hits[:1, :1])
+        dt = time.perf_counter() - t0
+        results.append(nblocks * stride / dt / 1e6)
 
-    samples = nblocks * stride  # raw input samples consumed
-    msps = samples / dt / 1e6
-    realtime_ratio = samples / rate / dt
+    msps = statistics.median(results)
+    realtime_ratio = msps * 1e6 / rate
 
     print(json.dumps({
         "metric": "fold_pipeline_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(realtime_ratio, 4),
+        "spread_min": round(min(results), 2),
+        "spread_max": round(max(results), 2),
+        "reps": reps,
+        "block_samples": stride,
+        "engine": "megakernel" if pipe.mega_plan is not None else "xla",
+        "compile_s": round(compile_s, 1),
     }))
 
 

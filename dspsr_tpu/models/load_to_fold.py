@@ -87,6 +87,11 @@ class FoldConfig:
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
     blocks_per_step: int = 1  # blocks folded per device dispatch (scan)
+    #: fuse unpack+filterbank+chirp+detect+fold into one Pallas megakernel
+    #: when the configuration is eligible (ops.megakernel); falls back to the
+    #: XLA op path otherwise.  This is the speed-of-light path on TPU: one
+    #: device program per block, all matmuls, zero transposes.
+    use_megakernel: bool = True
     #: minimum input samples per device block (amortizes dispatch overhead
     #: when the FFT windows are small; the reference sizes blocks from a RAM
     #: budget, IOManager::set_block_size, LoadToFold1.C:825-879)
@@ -431,19 +436,85 @@ class FoldPipeline:
         self.folding_period = period
         self.fold_plan = FoldPlan(nbin=self.nbin, seg_len=cfg.seg_len)
 
+        # --- megakernel fast path (ops.megakernel) ---
+        self.mega_plan = None
+        self._megastep = None
+        if self._mega_eligible():
+            from ..ops.megakernel import MegaPlan
+
+            mp = MegaPlan.from_filterbank(
+                self.fb_plan, self.nbin, obs.npol, cfg.npol_out, obs.nbit)
+            if mp is not None:
+                self.mega_plan = mp
+                # adopt the rounded overlap so all block geometry agrees
+                self.fb_plan = FilterbankPlan(
+                    real_input=True,
+                    nchan_subband=mp.nsub,
+                    freq_res=mp.freq_res,
+                    nfilt_pos=mp.nfilt_pos,
+                    nfilt_neg=mp.nfilt_neg,
+                )
+
         # --- block geometry ---
         self._plan_blocks()
 
+        if self.mega_plan is not None:
+            from ..ops.megakernel import MegaConstants, build_megastep, unpack_affine
+
+            # per-window phase anchors (seg = output samples per window)
+            self.fold_plan = FoldPlan(self.nbin, self.mega_plan.nkeep)
+            scale, offset = unpack_affine(obs.nbit, cfg.twos_complement)
+            resp = self.kernel.phasors if self.kernel is not None else None
+            import os as _os
+            dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
+                _os.environ.get("DSPSR_TPU_MEGA_DTYPE", "f32")]
+            cst = MegaConstants(self.mega_plan, resp, dtype=dt,
+                                unpack_scale=scale, unpack_offset=offset)
+            self._megastep = build_megastep(self.mega_plan, cst, self.npart)
+
         # --- accumulators ---
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
-        self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
-        self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        if self.mega_plan is not None:
+            self._profiles = jnp.zeros(
+                (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)
+            self._hits = jnp.zeros((1, self.nbin), jnp.float32)
+        else:
+            self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
+            self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
         self._subints: list[FoldResult] = []
         self._current_div = 0
         self._div_samples = 0.0
         self._first_out_time: Optional[MJD] = None
         self._last_out_time: Optional[MJD] = None
         self._byte_counts = np.zeros(256, np.int64)
+
+    def _mega_eligible(self) -> bool:
+        """The fused Pallas step covers the flagship configuration: 8-bit
+        real-sampled single-channel input through the convolving filterbank
+        into a detected fold.  Anything needing weights, taps or exotic ops
+        uses the general XLA path."""
+        import os
+
+        cfg = self.config
+        obs = self.obs_in
+        return (
+            cfg.use_megakernel
+            and "DSPSR_TPU_NO_MEGA" not in os.environ
+            and self.fb_plan is not None
+            and obs.nchan == 1
+            and obs.state == Signal.NYQUIST
+            and obs.nbit == 8
+            and not cfg.twos_complement
+            and self.unpack_plan.twobit is None
+            and self.sk_plan is None
+            and self.cyclic_plan is None
+            and self._jones_fftorder is None
+            and not cfg.fourth_moment
+            and not cfg.rfi_filter
+            and not cfg.dump_path
+            and cfg.npol_out in (1, 2, 4)
+            and (cfg.npol_out == 1 or obs.npol == 2)
+        )
 
     def signal_path(self) -> list:
         """Ordered record of the constructed op chain with its resolved
@@ -594,22 +665,68 @@ class FoldPipeline:
             body, (profiles, hits), (raws, phi0s, dphis))
         return profiles, hits
 
-    def _step_core(self, profiles, hits, raw, phi0, dphi):
+    def _step_core(self, profiles, hits, raw, phi0, dphi,
+                   chan_ix=None, n_chan_shards=1):
+        """One block through the op chain.
+
+        ``chan_ix``/``n_chan_shards``: when called inside a channel-sharded
+        ``shard_map`` (parallel.pipeline), process only output channels
+        ``[chan_ix*local, (chan_ix+1)*local)`` — the slice happens between
+        the big forward FFT and the per-subband inversion (the reference's
+        MPITrans channel scatter point).  ``profiles``/``hits`` are then the
+        local channel slices.
+        """
+        from ..ops.filterbank import (
+            forward_spectra_chunked, apply_response_chunked, invert_subbands)
+
+        sharded = chan_ix is not None and n_chan_shards > 1
+        nchan_total = self.obs_out.nchan
+        local = nchan_total // n_chan_shards if sharded else nchan_total
+
         x, w = self.unpack_plan.unpack(raw)
         # w: [nchan_in, nweights] block weights or None
+        rfi = ((self.config.rfi_median_width, self.config.rfi_threshold)
+               if self.config.rfi_filter else None)
         if self.fb_plan is not None:
-            rfi = ((self.config.rfi_median_width, self.config.rfi_threshold)
-                   if self.config.rfi_filter else None)
-            y = filterbank_block(x, self.fb_plan, self.npart,
-                                 self._response_natural, rfi_zap=rfi)
+            spec = forward_spectra_chunked(x, self.fb_plan, self.npart)
+            resp = self._response_natural
+            if sharded:
+                spec = tuple(jax.lax.dynamic_slice_in_dim(
+                    a, chan_ix * local, local, 0) for a in spec)
+                if resp is not None:
+                    resp = tuple(jax.lax.dynamic_slice_in_dim(
+                        r, chan_ix * local, local, 0) for r in resp)
+            spec = apply_response_chunked(
+                spec, resp, rfi_zap=rfi,
+                nchan_sub_present=min(self.fb_plan.nchan_subband, local))
+            y = invert_subbands(spec, self.fb_plan)
         elif self.conv_plan is not None:
-            if self._jones_fftorder is not None:
+            resp_f = self._response_fftorder
+            jones = self._jones_fftorder
+            if sharded:
+                # nchan_subband == 1: slice input channels directly
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(
+                        a, chan_ix * local, local, 0)
+
+                x = sl(x) if not isinstance(x, tuple) else (sl(x[0]), sl(x[1]))
+                if resp_f is not None:
+                    resp_f = (sl(resp_f[0]), sl(resp_f[1]))
+                if jones is not None:
+                    jones = tuple((sl(r), sl(i)) for (r, i) in jones)
+            if jones is not None:
                 y = overlap_save_convolve_jones(
-                    x, self._jones_fftorder, self.conv_plan, self.npart)
+                    x, jones, self.conv_plan, self.npart)
             else:
                 y = overlap_save_convolve(
-                    x, self._response_fftorder, self.conv_plan, self.npart)
+                    x, resp_f, self.conv_plan, self.npart)
         else:
+            if sharded:
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(
+                        a, chan_ix * local, local, 0)
+
+                x = sl(x) if not isinstance(x, tuple) else (sl(x[0]), sl(x[1]))
             y = x
         if self.cyclic_plan is not None:
             from ..ops.cyclic import lag_planes
@@ -626,7 +743,8 @@ class FoldPipeline:
         nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len
         dump = (jnp.transpose(d[..., :nuse], (2, 0, 1)).astype(jnp.float32)
                 if self.config.dump_path else None)
-        weights = self._stream_weights(w, nchan, nuse)
+        weights = self._stream_weights(w, nchan, nuse, chan_ix=chan_ix,
+                                       n_chan_shards=n_chan_shards)
         if self.sk_plan is not None:
             if isinstance(y, tuple):
                 power = y[0] * y[0] + y[1] * y[1]  # [nchan, npol, ndat] per pol
@@ -646,7 +764,7 @@ class FoldPipeline:
             return (*out, dump)
         return out
 
-    def _stream_weights(self, w, nchan, nuse):
+    def _stream_weights(self, w, nchan, nuse, chan_ix=None, n_chan_shards=1):
         """Map unpacker block weights onto output samples.
 
         Matches the reference's conservative semantics
@@ -654,9 +772,18 @@ class FoldPipeline:
         if ANY input sample of the FFT window that produced it was bad.
         Implemented gather-free: min over each window's weight span (static
         slices), then broadcast each window's weight over its nkeep outputs.
+
+        ``nchan`` is the number of output channels to produce (the local
+        slice under channel sharding, selected by ``chan_ix``).
         """
         if w is None:
             return jnp.ones((nchan, nuse), jnp.float32)
+        if chan_ix is not None and n_chan_shards > 1:
+            nsub = (self.fb_plan.nchan_subband
+                    if self.fb_plan is not None else 1)
+            rows = max(nchan // nsub, 1)
+            start = (chan_ix * nchan) // nsub
+            w = jax.lax.dynamic_slice_in_dim(w, start, rows, 0)
         nchan_in, nweights = w.shape
         npw = self.config.ndat_per_weight
 
@@ -679,9 +806,9 @@ class FoldPipeline:
                 w[:, :, None], (nchan_in, nweights, npw)
             ).reshape(nchan_in, nweights * npw)[:, :nuse]
 
-        if nchan_in == self.obs_out.nchan:
+        if nchan_in == nchan:
             return expanded
-        reps = self.obs_out.nchan // nchan_in
+        reps = nchan // nchan_in
         return jnp.broadcast_to(
             expanded[:, None, :], (nchan_in, reps, expanded.shape[-1])
         ).reshape(nchan_in * reps, expanded.shape[-1])
@@ -727,7 +854,7 @@ class FoldPipeline:
         nblocks = 0
         tsamp_out = 1.0 / self.obs_out.rate
         nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len
-        bps = self.config.blocks_per_step
+        bps = 1 if self._megastep is not None else self.config.blocks_per_step
 
         while start + self.block_in_samples <= nsamp_total:
             # gather up to blocks_per_step blocks that share a subint
@@ -754,7 +881,12 @@ class FoldPipeline:
 
             self._maybe_divide(batch[0][3])
             with rep.stage("device_step"):
-                if len(batch) == 1:
+                if self._megastep is not None:
+                    raw, phi0, dphi, t_out0 = batch[0]
+                    self._profiles, self._hits = self._megastep(
+                        self._profiles, self._hits, jnp.asarray(raw),
+                        jnp.asarray(phi0), jnp.asarray(dphi))
+                elif len(batch) == 1:
                     raw, phi0, dphi, t_out0 = batch[0]
                     res = self._step(
                         self._profiles, self._hits, jnp.asarray(raw),
@@ -833,14 +965,25 @@ class FoldPipeline:
             return
         prof = np.asarray(self._profiles)
         hits = np.asarray(self._hits)
+        if self.mega_plan is not None:
+            # mega layout [npol_out, nchan, nbin] -> [nchan, npol, nbin];
+            # hits [1, nbin] are channel-uniform (no weights on this path)
+            prof = np.ascontiguousarray(prof.transpose(1, 0, 2))
+            hits = np.broadcast_to(
+                hits, (self.obs_out.nchan, self.nbin)).copy()
         nchan, npol = prof.shape[0], prof.shape[1]
         self._subints.append(
             (prof, hits,
              self._first_out_time if not self._subints else self._last_out_time,
              self._div_samples / self.obs_out.rate)
         )
-        self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
-        self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        if self.mega_plan is not None:
+            self._profiles = jnp.zeros(
+                (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)
+            self._hits = jnp.zeros((1, self.nbin), jnp.float32)
+        else:
+            self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
+            self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
         self._div_samples = 0.0
 
     def _finish(self) -> FoldResult:

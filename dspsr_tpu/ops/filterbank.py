@@ -99,6 +99,91 @@ class FilterbankPlan:
             raise ValueError("nchan_subband must be >= 1")
 
 
+def forward_spectra_chunked(x, plan: FilterbankPlan, npart: int) -> SC:
+    """Frame + forward FFT + natural-order chunking.
+
+    Returns split-complex ``[nchan_out, npol, npart, freq_res]`` where output
+    channel ``c = ichan_in*nchan_subband + isub`` (natural order).  This is
+    the pre-subband-inversion half of the filterbank; the sharded pipeline
+    slices the channel axis here (channel parallelism lives between the big
+    forward FFT and the per-subband work, reference ``MPITrans``).
+    """
+    plan.validate()
+    if plan.real_input:
+        nchan_in, npol = x.shape[0], x.shape[1]
+        w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        spec = rfft_sc(w, plan.nsamp_fft)  # natural order already
+    else:
+        nchan_in, npol = x[0].shape[0], x[0].shape[1]
+        w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        spec = fftshift_sc(fft_sc(w, plan.n_fft))  # DC-centred -> natural
+
+    def chunk(a):
+        a = a.reshape(nchan_in, npol, npart, plan.nchan_subband, plan.freq_res)
+        a = jnp.moveaxis(a, 3, 1)
+        return a.reshape(nchan_in * plan.nchan_subband, npol, npart,
+                         plan.freq_res)
+
+    return chunk(spec[0]), chunk(spec[1])
+
+
+def apply_response_chunked(spec: SC, response_natural: SC,
+                           rfi_zap: Optional[tuple] = None,
+                           nchan_sub_present: Optional[int] = None) -> SC:
+    """Multiply a per-output-channel natural-order response into chunked
+    spectra ``[nchan, npol, npart, freq_res]`` ("convolve during"); optional
+    in-step narrow-band RFI rejection (ops.rfifilter).
+
+    ``nchan_sub_present``: how many consecutive channels of the chunked axis
+    form one input channel's subband group (for the RFI median bandpass —
+    the median runs across each input channel's full band); defaults to all
+    channels present (nchan_in == 1 or a channel-sharded slice).
+    """
+    if response_natural is not None:
+        rr, ri = response_natural
+        nchan = spec[0].shape[0]
+        rr = rr.reshape(nchan, spec[0].shape[-1])
+        ri = ri.reshape(nchan, spec[0].shape[-1])
+        spec = sc.mul(spec, (rr[:, None, None, :], ri[:, None, None, :]))
+    if rfi_zap is not None:
+        from .rfifilter import rfi_bandpass_weights
+
+        width, thresh = rfi_zap
+        nchan, npol, npart, fr = spec[0].shape
+        nsub = nchan_sub_present or nchan
+        # [nchan_in, npol, npart, nsub, fr] view for the cross-band median
+        def group(a):
+            a = a.reshape(nchan // nsub, nsub, npol, npart, fr)
+            return jnp.moveaxis(a, 1, 3)
+
+        def ungroup(a):
+            a = jnp.moveaxis(a, 3, 1)
+            return a.reshape(nchan, npol, npart, fr)
+
+        v = (group(spec[0]), group(spec[1]))
+        w = rfi_bandpass_weights(v, width, thresh)
+        w = jnp.broadcast_to(w, v[0].shape)
+        spec = (ungroup(v[0] * w), ungroup(v[1] * w))
+    return spec
+
+
+def invert_subbands(spec: SC, plan: FilterbankPlan) -> SC:
+    """Per-subband inverse FFT + keep: chunked spectra
+    ``[nchan, npol, npart, freq_res]`` -> time series
+    ``[nchan, npol, npart*nkeep]`` (complex baseband per channel)."""
+    nchan, npol, npart = spec[0].shape[0], spec[0].shape[1], spec[0].shape[2]
+    if plan.freq_res == 1:
+        return spec[0][..., 0], spec[1][..., 0]
+    chunks = ifftshift_sc(spec)
+    tr, ti = ifft_sc(chunks, plan.freq_res)
+
+    def keep(a):
+        k = a[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep]
+        return k.reshape(nchan, npol, npart * plan.nkeep)
+
+    return keep(tr), keep(ti)
+
+
 @partial(jax.jit, static_argnames=("plan", "npart", "rfi_zap"))
 def filterbank_block(
     x,
@@ -122,57 +207,10 @@ def filterbank_block(
     Returns split-complex ``[nchan_in*nchan_subband, npol, npart*nkeep]`` in
     natural channel order.
     """
-    plan.validate()
-    if plan.real_input:
-        nchan_in, npol = x.shape[0], x.shape[1]
-        w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
-        spec = rfft_sc(w, plan.nsamp_fft)  # natural order already
-    else:
-        nchan_in, npol = x[0].shape[0], x[0].shape[1]
-        w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
-        spec = fftshift_sc(fft_sc(w, plan.n_fft))  # DC-centred -> natural
-
-    # split into subband chunks:
-    # [nchan_in, npol, npart, nchan_subband, freq_res]
-    def chunk(a):
-        return a.reshape(nchan_in, npol, npart, plan.nchan_subband, plan.freq_res)
-
-    spec = (chunk(spec[0]), chunk(spec[1]))
-
-    if response_natural is not None:
-        rr = response_natural[0].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
-        ri = response_natural[1].reshape(nchan_in, plan.nchan_subband, plan.freq_res)
-        spec = sc.mul(spec, (rr[:, None, None, :, :], ri[:, None, None, :, :]))
-
-    if rfi_zap is not None:
-        from .rfifilter import rfi_bandpass_weights
-
-        width, thresh = rfi_zap
-        w = rfi_bandpass_weights(spec, width, thresh)
-        spec = (spec[0] * w, spec[1] * w)
-
-    if plan.freq_res == 1:
-        subr = spec[0][..., 0]  # [nchan_in, npol, npart, nchan_subband]
-        subi = spec[1][..., 0]
-        outr = jnp.moveaxis(subr, 3, 1).reshape(
-            nchan_in * plan.nchan_subband, npol, npart)
-        outi = jnp.moveaxis(subi, 3, 1).reshape(
-            nchan_in * plan.nchan_subband, npol, npart)
-        return outr, outi
-
-    # inverse FFT each subband chunk back to the time domain.  Chunk bin k
-    # ascends from the subband's lower edge; ifftshift puts the subband
-    # centre at DC so the output is ordinary complex baseband (dual sideband).
-    chunks = ifftshift_sc(spec)
-    tr, ti = ifft_sc(chunks, plan.freq_res)
-
-    def keep(a):
-        k = a[..., plan.nfilt_pos : plan.nfilt_pos + plan.nkeep]
-        k = jnp.moveaxis(k, 3, 1)
-        # [nchan_in, nchan_subband, npol, npart, nkeep]
-        return k.reshape(nchan_in * plan.nchan_subband, npol, npart * plan.nkeep)
-
-    return keep(tr), keep(ti)
+    spec = forward_spectra_chunked(x, plan, npart)
+    spec = apply_response_chunked(spec, response_natural, rfi_zap,
+                                  nchan_sub_present=plan.nchan_subband)
+    return invert_subbands(spec, plan)
 
 
 def update_observation(obs: Observation, plan: FilterbankPlan) -> Observation:

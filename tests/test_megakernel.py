@@ -1,0 +1,229 @@
+"""Megakernel (fused Pallas step) correctness.
+
+Layers of validation:
+
+1. ``mega_reference`` (float64 numpy, shares no code with the op path beyond
+   constants) vs the XLA op chain (unpack_fixed + filterbank_block + detect +
+   fold_block) — proves the transpose-free factorization computes the same
+   filterbank fold for every detection state.
+2. The Pallas kernel (interpret mode on CPU) vs ``mega_reference``.
+3. ``FoldPipeline`` with the megakernel engaged vs a per-block
+   ``mega_reference`` accumulation — proves the pipeline wiring (anchors,
+   layouts, subint conversion).
+4. Physics: an injected periodic pulse lands in the predicted phase bin in
+   both the mega and the general XLA paths.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dspsr_tpu.observation import Observation, Signal
+from dspsr_tpu.ops.filterbank import FilterbankPlan, filterbank_block
+from dspsr_tpu.ops.detection import detect
+from dspsr_tpu.ops.fold import FoldPlan, fold_block, compute_anchors
+from dspsr_tpu.unpack.unpackers import unpack_fixed
+from dspsr_tpu.ops.megakernel import (
+    MegaPlan, MegaConstants, mega_reference, unpack_affine, build_megastep)
+
+NSUB, FREQ_RES, NPOL, NBIN, NPART = 4, 64, 2, 32, 3
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    rng = np.random.default_rng(0)
+    fb0 = FilterbankPlan(real_input=True, nchan_subband=NSUB,
+                         freq_res=FREQ_RES, nfilt_pos=5, nfilt_neg=6)
+    plan = MegaPlan.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1)
+    fb = FilterbankPlan(real_input=True, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    ndat = fb.block_ndat(NPART)
+    raw = rng.integers(0, 256, size=ndat * NPOL, dtype=np.uint8)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.013)
+    return plan, fb, raw, resp, phi0, dphi
+
+
+def _xla_detected(fb, raw, resp):
+    x = unpack_fixed(jnp.asarray(raw), 8, 1, NPOL, 1)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    return filterbank_block(x, fb, NPART, (rr, ri))
+
+
+@pytest.mark.parametrize("npol_out,state", [
+    (1, Signal.INTENSITY), (2, Signal.PPQQ), (4, Signal.STOKES)])
+def test_reference_matches_xla_ops(small_setup, npol_out, state):
+    plan0, fb, raw, resp, phi0, dphi = small_setup
+    plan = MegaPlan(nsub=NSUB, freq_res=FREQ_RES, R1=plan0.R1,
+                    nfilt_pos=plan0.nfilt_pos, nfilt_neg=plan0.nfilt_neg,
+                    nbin=NBIN, npol=NPOL, npol_out=npol_out)
+    scale, offset = unpack_affine(8)
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst, phi0, dphi, NPART)
+
+    y = _xla_detected(fb, raw, resp)
+    d = np.asarray(detect(y, state))
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, npol_out, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32),
+        jnp.asarray(d),
+        jnp.ones((NSUB, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf, ht = np.asarray(pf), np.asarray(ht)
+    assert np.abs(pr - pf).max() / np.abs(pf).max() < 2e-5
+    assert np.abs(hr - ht[0]).max() == 0
+
+
+@pytest.mark.parametrize("npol_out", [1, 2, 4])
+def test_pallas_matches_reference(small_setup, npol_out):
+    plan0, fb, raw, resp, phi0, dphi = small_setup
+    plan = MegaPlan(nsub=NSUB, freq_res=FREQ_RES, R1=plan0.R1,
+                    nfilt_pos=plan0.nfilt_pos, nfilt_neg=plan0.nfilt_neg,
+                    nbin=NBIN, npol=NPOL, npol_out=npol_out)
+    scale, offset = unpack_affine(8)
+    cst64 = MegaConstants(plan, resp, dtype=np.float64,
+                          unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+    cst = MegaConstants(plan, resp, dtype=np.float32,
+                        unpack_scale=scale, unpack_offset=offset)
+    step = build_megastep(plan, cst, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((npol_out, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr.transpose(1, 0, 2) - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk[0]).max() == 0
+
+
+# ---- pipeline wiring ----
+
+RATE = 2e6
+
+
+def _write_raw(tmp_path, ndat, seed=3, pulse_period=None):
+    """8-bit dual-pol real Nyquist bytes, optionally with an injected pulse."""
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(0, 10, (ndat, 2))
+    if pulse_period is not None:
+        t = np.arange(ndat) / RATE
+        mask = (t % pulse_period) < 0.05 * pulse_period
+        noise[mask] *= 4.0
+    q = np.clip(np.round(noise + 127.5), 0, 255).astype(np.uint8)
+    p = str(tmp_path / "mega.raw")
+    with open(p, "wb") as f:
+        f.write(q.reshape(-1).tobytes())
+    return p
+
+
+def _obs():
+    from dspsr_tpu.timing.mjd import MJD
+
+    return Observation(
+        nchan=1, npol=2, ndim=1, nbit=8, centre_frequency=1400.0,
+        bandwidth=-2.0, rate=RATE,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=Signal.NYQUIST, source="FAKE", telescope="PKS",
+        instrument="RAW")
+
+
+def _config(**kw):
+    from dspsr_tpu.models.load_to_fold import FoldConfig
+
+    base = dict(folding_period=0.005, dispersion_measure=5.0, nchan=4,
+                nbin=32, block_parts=2, min_block_samples=0,
+                digitizer_stats=False)
+    base.update(kw)
+    return FoldConfig(**base)
+
+
+def test_pipeline_mega_engages_and_matches_reference(tmp_path):
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+    from dspsr_tpu.ops.fold import compute_anchors
+
+    path = _write_raw(tmp_path, 1 << 15)
+    src = RawFileSource(path, _obs())
+    pipe = FoldPipeline(src, _config())
+    assert pipe.mega_plan is not None, "megakernel should engage"
+    res = pipe.run()
+
+    # replicate: per-block mega_reference accumulation with the same anchors
+    plan = pipe.mega_plan
+    scale, offset = unpack_affine(8)
+    cst = MegaConstants(plan, pipe.kernel.phasors, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    tsamp_out = 1.0 / pipe.obs_out.rate
+    nuse = pipe.npart * plan.nkeep
+    prof = np.zeros((plan.nsub, 1, plan.nbin))
+    hits = np.zeros(plan.nbin)
+    start = 0
+    while start + pipe.block_in_samples <= src.total_samples:
+        raw = src.read_samples(start, pipe.block_in_samples)
+        t0 = pipe.output_start_time(start)
+        phi0, dphi = compute_anchors(pipe.predictor, t0, tsamp_out,
+                                     nuse, plan.nkeep)
+        p, h = mega_reference(raw, plan, cst,
+                              phi0.astype(np.float64),
+                              dphi.astype(np.float64), pipe.npart)
+        prof += p
+        hits += h
+        start += pipe.stride_in_samples
+
+    got = res.profiles[0]  # [nchan, npol, nbin]
+    assert got.shape == (plan.nsub, 1, plan.nbin)
+    assert np.abs(got - prof).max() / np.abs(prof).max() < 2e-4
+    assert np.abs(res.hits[0][0] - hits).max() == 0
+    assert np.allclose(res.hits[0], res.hits[0][0:1])  # channel-uniform
+
+
+def test_pipeline_mega_vs_general_pulse_recovery(tmp_path, monkeypatch):
+    """Both engines recover an injected pulse at the same phase."""
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+    period = 0.005
+    path = _write_raw(tmp_path, 1 << 15, pulse_period=period)
+
+    res = {}
+    for tag, nomega in (("mega", False), ("general", True)):
+        if nomega:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        src = RawFileSource(path, _obs())
+        pipe = FoldPipeline(src, _config(folding_period=period))
+        assert (pipe.mega_plan is not None) == (not nomega)
+        res[tag] = pipe.run()
+
+    for tag in res:
+        prof = res[tag].normalized()[0, :, 0, :]  # [nchan, nbin]
+        mean = prof.mean(axis=1, keepdims=True)
+        snr = (prof.max(axis=1) - mean[:, 0]) / prof.std(axis=1)
+        assert (snr > 1.5).all(), f"{tag}: pulse not recovered"
+    a = res["mega"].normalized()[0, :, 0, :]
+    b = res["general"].normalized()[0, :, 0, :]
+    # geometry differs slightly (rounded overlap) -> compare peak positions
+    assert (np.argmax(a, axis=1) == np.argmax(b, axis=1)).all()
+
+
+def test_pipeline_mega_subints(tmp_path):
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+    path = _write_raw(tmp_path, 1 << 15)
+    src = RawFileSource(path, _obs())
+    pipe = FoldPipeline(src, _config(subint_seconds=0.004))
+    assert pipe.mega_plan is not None
+    res = pipe.run()
+    assert res.profiles.shape[0] >= 2
+    # every subint in standard layout with uniform hits
+    assert res.profiles.shape[1:] == (4, 1, 32)
+    total = res.hits.sum()
+    assert total > 0
