@@ -776,7 +776,8 @@ class FoldPipeline:
         ``nchan`` is the number of output channels to produce (the local
         slice under channel sharding, selected by ``chan_ix``).
         """
-        if w is None:
+        if w is None or w.shape[1] == 0:
+            # block smaller than one weight span: no excision information
             return jnp.ones((nchan, nuse), jnp.float32)
         if chan_ix is not None and n_chan_shards > 1:
             nsub = (self.fb_plan.nchan_subband
@@ -793,8 +794,10 @@ class FoldPipeline:
             nkeep = pl.nkeep if self.fb_plan is not None else pl.nkeep_c
             per_win = []
             for p in range(self.npart):
-                a = (p * step) // npw
+                a = min((p * step) // npw, nweights - 1)
                 b = min((p * step + nfft + npw - 1) // npw, nweights)
+                b = max(b, a + 1)  # window tail past the last whole weight
+                # block inherits that block's weight (conservative)
                 per_win.append(jnp.min(w[:, a:b], axis=1))
             wwin = jnp.stack(per_win, axis=1)  # [nchan_in, npart]
             expanded = jnp.broadcast_to(

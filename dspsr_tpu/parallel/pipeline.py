@@ -1,0 +1,297 @@
+"""End-to-end multi-device fold pipeline — the LoadToFoldN equivalent.
+
+The reference scales the fold pipeline by cloning it across pthreads with a
+shared Input, InputBuffering::Share overlap handoff, and UnloaderShare subint
+reduction (``Signal/Pulsar/LoadToFoldN.C:64-160``,
+``Signal/General/MultiThread.C:90-370``); across cluster nodes it scatters
+raw blocks via MPIRoot (``Kernel/Classes/MPIRoot.C:318-472``).
+
+TPU-native shape: ONE jitted step over a ``(time, chan)`` ``jax.sharding.Mesh``
+per *superblock*:
+
+- the **time axis** plays the role of the thread pool: each time shard runs
+  the full single-chip op chain (``FoldPipeline._step_core`` — the SAME code
+  path, so 2-bit excision weights, SK, Jones, RFI zap and cyclic folding all
+  work sharded) on its own contiguous stripe of raw bytes;
+- the overlap-save halo is exchanged as **raw bytes over ICI** with
+  ``lax.ppermute`` (shard i's head bytes go to shard i-1, replacing
+  InputBuffering::Share); the superblock's trailing halo rides in on a
+  host-provided tail row for the last shard, so every window of every shard
+  is valid — no masking, no re-reads;
+- the **chan axis** is the MPITrans channel scatter: the slice happens
+  between the big forward FFT and the per-subband inversion
+  (``_step_core(chan_ix=..., n_chan_shards=...)``);
+- fold accumulators reduce over time shards with ``psum``
+  (``PhaseSeries::combine``) and stay chan-sharded across superblocks.
+
+Hosts read **disjoint stripes** (superblock layout) — the MPIRoot scatter
+without the root.  Subint division happens at superblock granularity
+(matching the reference's block-granularity TimeDivide decisions when the
+divisions align; see ``run``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..observation import Observation
+from ..timing.mjd import MJD
+from ..io.sources import Source
+from ..models.load_to_fold import FoldConfig, FoldPipeline, FoldResult
+from ..ops.fold import compute_anchors
+from ..unpack.unpackers import state_counts_from_byte_counts
+from .sharded import make_mesh
+
+
+class ShardedFoldPipeline:
+    """Streams a Source through superblocks on a (time, chan) mesh.
+
+    Usage::
+
+        mesh = make_mesh(8, nchan_shards=2)
+        pipe = ShardedFoldPipeline(src, config, mesh)
+        result = pipe.run()          # FoldResult, same as FoldPipeline.run()
+    """
+
+    def __init__(self, source: Source, config: FoldConfig, mesh: Mesh):
+        if "time" not in mesh.shape or "chan" not in mesh.shape:
+            raise ValueError("mesh needs ('time', 'chan') axes")
+        self.mesh = mesh
+        self.n_time = mesh.shape["time"]
+        self.n_chan = mesh.shape["chan"]
+        # the inner single-shard pipeline: identical construction, with the
+        # megakernel off (the sharded step runs the general op chain) and no
+        # per-block host taps
+        cfg = dataclasses.replace(config, use_megakernel=False)
+        if cfg.dump_path:
+            raise NotImplementedError("dump tap not supported sharded")
+        self.inner = FoldPipeline(source, cfg)
+        self.config = cfg
+        self.source = source
+
+        inner = self.inner
+        if inner.obs_out.nchan % self.n_chan:
+            raise ValueError(
+                f"nchan_out={inner.obs_out.nchan} not divisible by "
+                f"chan shards={self.n_chan}")
+        nlocal = inner.obs_out.nchan // self.n_chan
+        nsub = inner.fb_plan.nchan_subband if inner.fb_plan is not None else 1
+        if not (nlocal % nsub == 0 or nsub % nlocal == 0):
+            raise ValueError("chan shard boundary must align with subband "
+                             "groups of one input channel")
+
+        bps = inner.obs_in.nbytes_per_sample
+        self.stride_bytes = int(round(inner.stride_in_samples * bps))
+        self.halo_bytes = int(round(inner.nsamp_overlap * bps))
+        if abs(inner.stride_in_samples * bps - self.stride_bytes) > 1e-9 or \
+           abs(inner.nsamp_overlap * bps - self.halo_bytes) > 1e-9:
+            raise ValueError("shard stride/halo not byte-aligned")
+
+        self.superblock_samples = (self.n_time * inner.stride_in_samples
+                                   + inner.nsamp_overlap)
+        self.superblock_stride = self.n_time * inner.stride_in_samples
+
+        self._step = self._build_step()
+        nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
+        self._profiles = jnp.zeros((nchan, npol, inner.nbin), jnp.float32)
+        self._hits = jnp.zeros((nchan, inner.nbin), jnp.float32)
+        self._subints = []
+        self._current_div = 0
+        self._div_samples = 0.0
+        self._first_out_time: Optional[MJD] = None
+        self._last_out_time: Optional[MJD] = None
+        self._byte_counts = np.zeros(256, np.int64)
+
+    # ---- the jitted superblock step ----
+
+    def _build_step(self):
+        inner = self.inner
+        n_time, n_chan = self.n_time, self.n_chan
+        halo_b = self.halo_bytes
+
+        def local(profiles, hits, raw, tail, phi0, dphi):
+            raw, tail = raw[0], tail[0]
+            phi0, dphi = phi0[0], dphi[0]
+            if halo_b:
+                # InputBuffering::Share over ICI: my head bytes are my left
+                # neighbour's trailing halo
+                head = raw[:halo_b]
+                perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+                from_right = jax.lax.ppermute(head, "time", perm)
+                ti = jax.lax.axis_index("time")
+                halo = jnp.where(ti == n_time - 1, tail, from_right)
+                raw = jnp.concatenate([raw, halo])
+            ci = jax.lax.axis_index("chan")
+            dprof, dhits = inner._step_core(
+                jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
+                phi0, dphi, chan_ix=ci, n_chan_shards=n_chan)
+            # PhaseSeries::combine across the time shards
+            dprof = jax.lax.psum(dprof, "time")
+            dhits = jax.lax.psum(dhits, "time")
+            return profiles + dprof, hits + dhits
+
+        sm = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P("chan"), P("chan"), P("time"), P("time"),
+                      P("time"), P("time")),
+            out_specs=(P("chan"), P("chan")),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=(0, 1))
+
+    # ---- host streaming loop ----
+
+    def host_stripe_layout(self, sb_start: int):
+        """(start_sample, nsamples) read per time shard for the superblock at
+        ``sb_start`` — disjoint ranges plus one trailing halo read (the
+        multi-host striping contract replacing MPIRoot)."""
+        s = self.inner.stride_in_samples
+        stripes = [(sb_start + i * s, s) for i in range(self.n_time)]
+        tail = (sb_start + self.n_time * s, self.inner.nsamp_overlap)
+        return stripes, tail
+
+    def _read_superblock(self, sb_start: int):
+        src = self.source
+        stripes, tail = self.host_stripe_layout(sb_start)
+        rows = np.stack([src.read_samples(s, n) for (s, n) in stripes])
+        tail_rows = np.zeros((self.n_time, self.halo_bytes), np.uint8)
+        if self.halo_bytes:
+            tail_rows[-1] = src.read_samples(*tail)
+        return rows, tail_rows
+
+    def _division_index(self, t: MJD) -> int:
+        cfg = self.config
+        ref = self._first_out_time
+        if ref is None:
+            return 0
+        if cfg.subint_turns > 0:
+            dphi = self.inner.predictor.phase(t) - self.inner.predictor.phase(ref)
+            return int(dphi / cfg.subint_turns)
+        if cfg.subint_seconds <= 0:
+            return 0
+        return int((t - ref) / cfg.subint_seconds)
+
+    def _flush_division(self):
+        if self._div_samples == 0:
+            return
+        prof = np.asarray(self._profiles)
+        hits = np.asarray(self._hits)
+        self._subints.append(
+            (prof, hits,
+             self._first_out_time if not self._subints else self._last_out_time,
+             self._div_samples / self.inner.obs_out.rate))
+        self._profiles = jnp.zeros_like(self._profiles)
+        self._hits = jnp.zeros_like(self._hits)
+        self._div_samples = 0.0
+
+    def run(self, max_superblocks: Optional[int] = None,
+            total_seconds: Optional[float] = None) -> FoldResult:
+        inner = self.inner
+        cfg = self.config
+        src = self.source
+        seek = int(cfg.seek_seconds * inner.obs_in.rate) if cfg.seek_seconds else 0
+        nsamp_total = src.total_samples
+        if total_seconds is not None:
+            nsamp_total = min(nsamp_total,
+                              seek + int(total_seconds * inner.obs_in.rate))
+
+        tsamp_out = 1.0 / inner.obs_out.rate
+        seg = inner.fold_plan.seg_len
+        nuse = (inner.out_per_block // seg) * seg
+        nseg = nuse // seg
+        start = seek
+        nsb = 0
+        while start + self.superblock_samples <= nsamp_total:
+            t0s = [inner.output_start_time(start + i * inner.stride_in_samples)
+                   for i in range(self.n_time)]
+            # subint division decided at superblock granularity
+            if self._first_out_time is not None:
+                div = self._division_index(t0s[0])
+                if div != self._current_div:
+                    self._flush_division()
+                    self._current_div = div
+
+            rows, tail_rows = self._read_superblock(start)
+            if cfg.digitizer_stats and inner.obs_in.nbit <= 8:
+                # count per-shard stride + halo, matching the single-pipeline
+                # semantics where overlap bytes are re-unpacked per block
+                self._byte_counts += np.bincount(rows.reshape(-1),
+                                                 minlength=256)
+                for i in range(self.n_time):
+                    if self.halo_bytes:
+                        halo = (tail_rows[-1] if i == self.n_time - 1
+                                else rows[i + 1][: self.halo_bytes])
+                        self._byte_counts += np.bincount(halo, minlength=256)
+            phi0 = np.empty((self.n_time, nseg), np.float32)
+            dphi = np.empty((self.n_time, nseg), np.float32)
+            for i, t0 in enumerate(t0s):
+                p0, dp = compute_anchors(inner.predictor, t0, tsamp_out,
+                                         nuse, seg)
+                phi0[i] = (p0 - cfg.reference_phase) % 1.0
+                dphi[i] = dp
+
+            self._profiles, self._hits = self._step(
+                self._profiles, self._hits, jnp.asarray(rows),
+                jnp.asarray(tail_rows), jnp.asarray(phi0), jnp.asarray(dphi))
+
+            if self._first_out_time is None:
+                self._first_out_time = t0s[0]
+            self._last_out_time = t0s[-1] + nuse * tsamp_out
+            self._div_samples += nuse * self.n_time
+            start += self.superblock_stride
+            nsb += 1
+            if max_superblocks is not None and nsb >= max_superblocks:
+                break
+
+        self._flush_division()
+        return self._finish()
+
+    def _finish(self) -> FoldResult:
+        inner = self.inner
+        if self._subints:
+            profs = np.stack([s[0] for s in self._subints])
+            hits = np.stack([s[1] for s in self._subints])
+        else:
+            profs = np.zeros((0, inner.obs_out.nchan, inner.obs_out.npol,
+                              inner.nbin))
+            hits = np.zeros((0, inner.obs_out.nchan, inner.nbin))
+        return FoldResult(
+            profiles=profs,
+            hits=hits,
+            epochs=[s[2] for s in self._subints],
+            integration_length=np.array([s[3] for s in self._subints]),
+            obs=inner.obs_out,
+            nbin=inner.nbin,
+            folding_period=inner.folding_period,
+            dispersion_measure=inner.dm,
+            cyclic_nlag=(inner.cyclic_plan.nlag if inner.cyclic_plan else 0),
+            cyclic_mover=(inner.cyclic_plan.mover if inner.cyclic_plan else 1),
+            cyclic_npol=(inner.obs_stream.npol if inner.cyclic_plan else 1),
+            signal_path=inner.signal_path() + [
+                {"op": "ShardedRun", "n_time": self.n_time,
+                 "n_chan": self.n_chan}],
+            digitizer_counts=(
+                state_counts_from_byte_counts(self._byte_counts,
+                                              inner.obs_in.nbit)
+                if self.config.digitizer_stats and inner.obs_in.nbit <= 8
+                and self._byte_counts.any() else None),
+        )
+
+
+def load_to_fold_sharded(path: str, config: FoldConfig,
+                         n_devices: Optional[int] = None,
+                         nchan_shards: int = 1, **run_kw) -> FoldResult:
+    """One-call convenience (the dspsr -t N equivalent)."""
+    from ..io.sources import open_source
+
+    src = open_source(path)
+    mesh = make_mesh(n_devices, nchan_shards)
+    return ShardedFoldPipeline(src, config, mesh).run(**run_kw)

@@ -156,43 +156,27 @@ def build_sharded_step(
             else:
                 x = (exchange(x[0]), exchange(x[1]))
 
-        # ---- channelize (big MXU FFT locally; chan shards keep their bands) -
-        if fb.real_input:
-            w = frame(x, fb.nsamp_fft, fb.nsamp_step, plan.npart_local)
-            spec = rfft_sc(w, fb.nsamp_fft)  # natural order already
-        else:
-            w = frame_sc(x, fb.nsamp_fft, fb.nsamp_step, plan.npart_local)
-            spec = fftshift_sc(fft_sc(w, fb.n_fft))  # natural order
+        # ---- channelize via the shared ops-layer stages (the sharded and
+        # single-chip paths run the SAME filterbank code; the chan slice sits
+        # between the forward FFT and the per-subband inversion) ----
+        from ..ops.filterbank import (
+            forward_spectra_chunked, apply_response_chunked, invert_subbands)
 
+        spec = forward_spectra_chunked(x, fb, plan.npart_local)
         ci = jax.lax.axis_index("chan")
-
-        def select(a):
-            a = a.reshape(plan.nchan_in, plan.npol, plan.npart_local,
-                          fb.nchan_subband, fb.freq_res)
-            # global output channel = ichan_in*nchan_subband + isub
-            a = jnp.moveaxis(a, 3, 1).reshape(
-                plan.nchan_out, plan.npol, plan.npart_local, fb.freq_res)
-            return jax.lax.dynamic_slice_in_dim(a, ci * nchan_local, nchan_local, 0)
-
-        spec = (select(spec[0]), select(spec[1]))
-
+        spec = tuple(
+            jax.lax.dynamic_slice_in_dim(a, ci * nchan_local, nchan_local, 0)
+            for a in spec)
+        resp = None
         if response_natural is not None:
-            rl = tuple(
+            resp = tuple(
                 jax.lax.dynamic_slice_in_dim(r, ci * nchan_local, nchan_local, 0)
                 for r in response_natural)
-            spec = sc.mul(spec, (rl[0][:, None, None, :], rl[1][:, None, None, :]))
-
-        if fb.freq_res > 1:
-            sub = ifft_sc(ifftshift_sc(spec), fb.freq_res)
-            kept = tuple(a[..., fb.nfilt_pos : fb.nfilt_pos + fb.nkeep]
-                         for a in sub)
-        else:
-            kept = spec
-        # [nchan_local, npol, npart_local, nkeep]
+        spec = apply_response_chunked(
+            spec, resp, nchan_sub_present=min(fb.nchan_subband, nchan_local))
+        y = invert_subbands(spec, fb)
 
         # ---- detect ----
-        y = tuple(a.reshape(nchan_local, plan.npol, plan.npart_local * fb.nkeep)
-                  for a in kept)
         d = _detect(y, plan.det_state)
 
         # ---- fold (window mask suppresses wrapped-halo windows) ----

@@ -1,0 +1,170 @@
+"""ShardedFoldPipeline (LoadToFoldN equivalent) parity tests.
+
+Core property (SURVEY.md §4, mirroring the reference's 1-thread vs N-thread
+archive comparison): an (n_time, n_chan)-sharded run over superblocks must
+equal the single-pipeline run with the same per-block geometry — including
+2-bit excision weights, spectral kurtosis, Jones calibration and subints.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dspsr_tpu.observation import Observation, Signal
+from dspsr_tpu.timing.mjd import MJD
+from dspsr_tpu.io.sources import RawFileSource, DADAFile
+from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+from dspsr_tpu.parallel.sharded import make_mesh
+from dspsr_tpu.parallel.pipeline import ShardedFoldPipeline
+
+RATE = 1e6
+
+
+def _obs(nbit=8, npol=2, ndim=1):
+    return Observation(
+        nchan=1, npol=npol, ndim=ndim, nbit=nbit, centre_frequency=1400.0,
+        bandwidth=-1.0 if ndim == 2 else -2.0, rate=RATE,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=Signal.ANALYTIC if ndim == 2 else Signal.NYQUIST,
+        source="FAKE", telescope="PKS", instrument="RAW")
+
+
+def _write(tmp_path, name, nbytes, seed=5, rfi_stretch=None, twobit=False):
+    rng = np.random.default_rng(seed)
+    if twobit:
+        # draw 2-bit codes with the JA98 Gaussian occupation (~0.677 low
+        # fraction) so healthy blocks survive the excision window
+        codes = rng.choice(4, size=nbytes * 4,
+                           p=[0.1615, 0.3385, 0.3385, 0.1615]).astype(np.uint8)
+        c = codes.reshape(-1, 4)
+        q = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+    else:
+        q = rng.integers(0, 256, nbytes).astype(np.uint8)
+    if rfi_stretch is not None:
+        a, b = rfi_stretch
+        q[a:b] = 255  # saturated stretch -> 2-bit excision zero-weights it
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(q.tobytes())
+    return p
+
+
+def _cfg(**kw):
+    base = dict(folding_period=0.004, dispersion_measure=3.0, nchan=4,
+                nbin=32, block_parts=2, min_block_samples=0,
+                use_megakernel=False, digitizer_stats=True)
+    base.update(kw)
+    return FoldConfig(**base)
+
+
+def _parity(tmp_path, obs, cfg, n_time, n_chan, nsuper=2, name="d.raw",
+            rfi_stretch=None, rtol=2e-5):
+    """Run sharded vs single on identical data; compare results."""
+    twobit = obs.nbit == 2
+    mesh = make_mesh(n_time * n_chan, n_chan)
+    # size the file to exactly nsuper superblocks (probe geometry first)
+    probe_src = RawFileSource(
+        _write(tmp_path, name, 1 << 22, rfi_stretch=rfi_stretch,
+               twobit=twobit), obs)
+    sh = ShardedFoldPipeline(probe_src, cfg, mesh)
+    total = nsuper * sh.superblock_stride + sh.inner.nsamp_overlap
+    total_bytes = int(round(total * obs.nbytes_per_sample))
+
+    path = _write(tmp_path, name, total_bytes, rfi_stretch=rfi_stretch,
+                  twobit=twobit)
+    sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+    res_n = sh.run()
+
+    single = FoldPipeline(RawFileSource(path, obs),
+                          dataclasses.replace(cfg, use_megakernel=False))
+    res_1 = single.run()
+
+    assert res_n.profiles.shape == res_1.profiles.shape
+    assert len(res_n.epochs) == len(res_1.epochs)
+    for a, b in zip(res_n.epochs, res_1.epochs):
+        assert abs(a - b) < 1e-12
+    np.testing.assert_allclose(res_n.integration_length,
+                               res_1.integration_length, rtol=1e-12)
+    scale = np.abs(res_1.profiles).max() + 1e-30
+    np.testing.assert_allclose(res_n.profiles / scale, res_1.profiles / scale,
+                               atol=rtol)
+    np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
+    if res_1.digitizer_counts is not None:
+        np.testing.assert_array_equal(res_n.digitizer_counts,
+                                      res_1.digitizer_counts)
+    return res_n, res_1
+
+
+def test_parity_8bit_time_shards(tmp_path):
+    _parity(tmp_path, _obs(), _cfg(), n_time=8, n_chan=1)
+
+
+def test_parity_chan_shards(tmp_path):
+    _parity(tmp_path, _obs(), _cfg(), n_time=4, n_chan=2)
+
+
+def test_parity_2bit_excision_weights(tmp_path):
+    """2-bit JA98 dynamic levels + excision weights agree sharded (the
+    saturated stretch must produce zero weights in both runs)."""
+    obs = _obs(nbit=2, ndim=2)  # 1 byte/sample (4 dig streams)
+    res_n, res_1 = _parity(tmp_path, obs, _cfg(ndat_per_weight=128, min_block_samples=4096),
+                           n_time=4, n_chan=1,
+                           rfi_stretch=(10000, 12000))
+    # healthy blocks survived AND the saturated stretch was excised
+    assert res_1.hits.max() > 0
+    assert res_1.hits.sum() < res_1.profiles.shape[1] * res_1.hits.shape[-1] \
+        * res_1.hits.max()
+
+
+def test_parity_spectral_kurtosis(tmp_path):
+    _parity(tmp_path, _obs(), _cfg(sk_enable=True, sk_m=64),
+            n_time=4, n_chan=1)
+
+
+def test_parity_jones_calibration(tmp_path):
+    """Matrix (Jones) convolution sharded over time."""
+    rng = np.random.default_rng(2)
+    freqs = np.linspace(1399.0, 1401.0, 64)
+    j = np.empty((64, 2, 2), np.complex128)
+    for i in range(64):
+        a = 0.1 * rng.standard_normal(2)
+        j[i] = np.eye(2) + np.array([[0, a[0] + 1j * a[1]],
+                                     [a[0] - 1j * a[1], 0]])
+    np.savez(tmp_path / "cal.npz", freq=freqs, jones=j)
+    obs = _obs(ndim=2)
+    cfg = _cfg(nchan=1, npol_out=4, frequency_resolution=128,
+               calibration_path=str(tmp_path / "cal.npz"),
+               dispersion_measure=1.0)
+    _parity(tmp_path, obs, cfg, n_time=4, n_chan=1, rtol=5e-5)
+
+
+def test_parity_subints_aligned(tmp_path):
+    """Subint boundaries on superblock edges: identical division."""
+    obs = _obs()
+    mesh = make_mesh(4, 1)
+    probe = ShardedFoldPipeline(
+        RawFileSource(_write(tmp_path, "s.raw", 1 << 22), obs), _cfg(), mesh)
+    # slightly under one superblock so the boundary is unambiguous in fp
+    sb_seconds = probe.superblock_stride / RATE * 0.98
+    cfg = _cfg(subint_seconds=sb_seconds)
+    res_n, res_1 = _parity(tmp_path, obs, cfg, n_time=4, n_chan=1,
+                           nsuper=3, name="s.raw")
+    assert res_n.profiles.shape[0] == 3
+
+
+def test_parity_stokes_fourth_detection(tmp_path):
+    _parity(tmp_path, _obs(), _cfg(npol_out=4), n_time=4, n_chan=2)
+
+
+def test_host_stripe_layout_disjoint(tmp_path):
+    obs = _obs()
+    mesh = make_mesh(8, 1)
+    sh = ShardedFoldPipeline(
+        RawFileSource(_write(tmp_path, "l.raw", 1 << 22), obs), _cfg(), mesh)
+    stripes, tail = sh.host_stripe_layout(0)
+    ends = [s + n for s, n in stripes]
+    starts = [s for s, _ in stripes]
+    assert starts[1:] == ends[:-1]  # contiguous, disjoint
+    assert tail[0] == ends[-1]
