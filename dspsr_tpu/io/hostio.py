@@ -167,9 +167,14 @@ class RingWriter:
 class RingReader(Source):
     """Consumer side: a Source over the live ring (DADABuffer equivalent).
 
-    ``read_samples`` serves strictly sequential whole-buffer reads; the
-    pipeline's block planner must use block == stride == buffer samples
-    (no overlap; live channelization uses freq_res=1 or post-hoc overlap).
+    ``read_samples`` serves sequential *forward* reads of any size and
+    stride — including the overlapping reads of the coherent-dedispersion
+    block loop (stride < block).  Ring buffers are popped as needed and the
+    trailing bytes are carried host-side between reads, exactly the role of
+    the reference's overlap recycling in ``Seekable::load_data``
+    (``Kernel/Classes/Seekable.C:197-222``) that lets ``DADABuffer`` feed
+    full pipelines live.  Seeking backwards beyond the carried tail is not
+    possible on a live stream.
     """
 
     def __init__(self, name: str):
@@ -184,7 +189,9 @@ class RingReader(Source):
         self.obs = observation_from_header(
             parse_ascii_header(buf.raw.decode("latin-1")))
         self.buf_bytes = self._lib.ring_buf_bytes(self._h)
-        self._pos = 0
+        # carried bytes cover stream bytes [_carry_start, _carry_start+len)
+        self._carry = np.empty(0, np.uint8)
+        self._carry_start = 0
 
     @property
     def total_samples(self) -> int:
@@ -193,20 +200,39 @@ class RingReader(Source):
     def buffer_samples(self) -> int:
         return self.buf_bytes // int(self.obs.nbytes_per_sample)
 
-    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
-        bps = self.bytes_per_sample_exact()
-        assert nsamp * bps == self.buf_bytes, "ring reads are whole buffers"
-        out = np.empty(self.buf_bytes, np.uint8)
+    def _pop(self) -> np.ndarray:
         import time
 
+        out = np.empty(self.buf_bytes, np.uint8)
         while True:
             r = self._lib.ring_pop(self._h, out.ctypes.data_as(ctypes.c_void_p))
             if r == 1:
-                self._pos += nsamp
                 return out
             if r == -1:
                 raise EOFError("ring end of data")
             time.sleep(0.0005)
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        a = start * bps
+        b = (start + nsamp) * bps
+        if a < self._carry_start:
+            raise ValueError(
+                f"live ring cannot seek back to byte {a} "
+                f"(tail carried from {self._carry_start})")
+        chunks = [self._carry]
+        end = self._carry_start + self._carry.size
+        while end < b:
+            nxt = self._pop()
+            chunks.append(nxt)
+            end += nxt.size
+        data = np.concatenate(chunks) if len(chunks) > 1 else self._carry
+        off = a - self._carry_start
+        out = data[off : off + (b - a)].copy()
+        # keep everything from byte a onward: the next read may overlap
+        self._carry = data[off:]
+        self._carry_start = a
+        return out
 
     def close(self, unlink: bool = False):
         if self._h:

@@ -162,6 +162,27 @@ class DummySource(Source):
         return (h & np.uint64(0xFF)).astype(np.uint8)
 
 
+def device_noise_bytes(start_byte, nbytes: int):
+    """Pseudo-noise uint8 generated ON DEVICE — the ``DummyFile``
+    fake-data-for-benchmark role (``Kernel/Classes/dsp/DummyFile.h``) without
+    a host->device transfer in the measured path.
+
+    TPU has no 64-bit integers, so this uses a 32-bit multiply-xorshift mix
+    (distinct stream from the host-side :class:`DummySource` hash; identical
+    statistics).  ``nbytes`` must be static; ``start_byte`` may be traced.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i = (jax.lax.broadcasted_iota(jnp.uint32, (nbytes, 1), 0).reshape(nbytes)
+         + jnp.uint32(start_byte))
+    h = i * jnp.uint32(2654435761)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32(0xFF)).astype(jnp.uint8)
+
+
 class RawFileSource(Source):
     """Headerless raw data file + externally supplied Observation
     (reference ``CommandLineHeader``: ``dspsr --header KEY=VAL ...``)."""

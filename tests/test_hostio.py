@@ -155,3 +155,59 @@ class TestLivePipeline:
             r.close()
         finally:
             w.close(unlink=True)
+
+    def test_live_coherent_dedispersion_matches_offline(self, lib, tmp_path):
+        """DM > 0 live: the ring reader carries the overlap-save tail
+        host-side (Seekable.C:197-222 recycling), so the coherent pipeline
+        runs on a live stream and matches the offline fold of the same
+        bytes."""
+        from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+        from test_pipeline import synth_pulsar_dada, PERIOD, DM
+
+        p = synth_pulsar_dada(str(tmp_path / "livedm.dada"), nsec=0.15)
+        file_src = open_source(p)
+        name = f"/dspsr_tpu_livedm_{os.getpid()}"
+
+        nsamp_buf = 16384
+        buf_bytes = nsamp_buf * file_src.bytes_per_sample_exact()
+        w = RingWriter(name, file_src.obs, buf_bytes, nbufs=8)
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, nbin=32, min_block_samples=8192,
+                         block_parts=2)
+        try:
+            r = RingReader(name)
+
+            def feeder():
+                start = 0
+                while start + nsamp_buf <= file_src.total_samples:
+                    buf = file_src.read_samples(start, nsamp_buf)
+                    while not w.push(buf):
+                        time.sleep(0.0005)
+                    start += nsamp_buf
+                w.set_eod()
+
+            t = threading.Thread(target=feeder)
+            t.start()
+
+            pipe = FoldPipeline(r, cfg)
+            assert pipe.nsamp_overlap > 0, "must exercise overlapping reads"
+            try:
+                res_live = pipe.run(max_blocks=50)
+            except EOFError:
+                res_live = pipe._finish()
+            t.join()
+            r.close()
+        finally:
+            w.close(unlink=True)
+
+        nchan = res_live.obs.nchan
+        nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) \
+            * pipe.fold_plan.seg_len
+        nblocks_live = int(round(res_live.hits.sum() / (nchan * nuse)))
+        assert nblocks_live >= 2
+
+        off = FoldPipeline(open_source(p), cfg)
+        res_off = off.run(max_blocks=nblocks_live)
+        np.testing.assert_allclose(res_live.profiles, res_off.profiles,
+                                   rtol=1e-6, atol=1e-3)
+        np.testing.assert_allclose(res_live.hits, res_off.hits, atol=1e-3)
