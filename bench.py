@@ -46,7 +46,7 @@ def main():
     src = DummySource(obs)
     # the execution backend charges a near-flat cost per program execution
     # (PERF.md): throughput scales with block size until memory limits
-    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 24))
+    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 25))
     cfg = FoldConfig(
         polyco_path="/root/reference/Benchmark/polyco.dat",
         dispersion_measure=2.64,
