@@ -110,6 +110,60 @@ class FitsWriter:
                 out += v[r].tobytes()
         self.f.write(_pad(bytes(out), b"\x00"))
 
+    # ---- streaming bintable (row-at-a-time; NAXIS2 fixed up at end) ----
+
+    def begin_bintable(self, extname: str,
+                       columns: List[Tuple[str, str, str, int]],
+                       extra_cards: List[Tuple] = ()) -> None:
+        """Open a BINTABLE for row streaming.
+
+        columns: (name, tform, tunit, row_bytes) per column.  Rows are
+        appended with :meth:`write_row`; the row count is patched into
+        NAXIS2 by :meth:`end_bintable` (the cfitsio reserved-keyword trick
+        the reference relies on for long digifits runs).  Requires a
+        seekable file.
+        """
+        naxis1 = sum(w for _, _, _, w in columns)
+        hdr = [
+            _card("XTENSION", "BINTABLE", "binary table extension"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 2),
+            _card("NAXIS1", naxis1, "bytes per row"),
+            _card("NAXIS2", 0, "number of rows"),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card("TFIELDS", len(columns)),
+        ]
+        for i, (name, tform, tunit, _) in enumerate(columns, 1):
+            hdr.append(_card(f"TTYPE{i}", name))
+            hdr.append(_card(f"TFORM{i}", tform))
+            if tunit:
+                hdr.append(_card(f"TUNIT{i}", tunit))
+        hdr.append(_card("EXTNAME", extname))
+        for c in extra_cards:
+            hdr.append(_card(*c))
+        hdr.append(_card("END"))
+        self._bt_hdr_pos = self.f.tell()
+        self.f.write(_pad(b"".join(hdr)))
+        self._bt_naxis1 = naxis1
+        self._bt_rows = 0
+
+    def write_row(self, row: bytes) -> None:
+        if len(row) != self._bt_naxis1:
+            raise ValueError(f"row is {len(row)} bytes, NAXIS1 is "
+                             f"{self._bt_naxis1}")
+        self.f.write(row)
+        self._bt_rows += 1
+
+    def end_bintable(self) -> None:
+        n = (-self._bt_rows * self._bt_naxis1) % RECORD
+        self.f.write(b"\x00" * n)
+        end = self.f.tell()
+        # NAXIS2 is the 5th card of the streamed header
+        self.f.seek(self._bt_hdr_pos + 4 * 80)
+        self.f.write(_card("NAXIS2", self._bt_rows, "number of rows"))
+        self.f.seek(end)
+
 
 def read_fits_headers(path: str) -> List[Dict[str, str]]:
     """Parse all HDU headers (values as raw strings) — for tests."""

@@ -68,7 +68,15 @@ def save_psrfits_fold(path: str, result: "FoldResult") -> None:
     q = np.round((prof - offsv[..., None]) / scl[..., None]).astype(np.int16)
 
     tsub = np.asarray(result.integration_length, np.float64)
-    offs_sub = np.cumsum(tsub) - tsub / 2.0
+    # gap-aware subint offsets: each subint's TRUE data-start epoch relative
+    # to the observation start, plus half its integration (the reference
+    # computes boundaries in TimeDivide rather than cumsumming lengths,
+    # Signal/Pulsar/TimeDivide.C)
+    if result.epochs and len(result.epochs) == nsub:
+        starts = np.array([e - obs.start_time for e in result.epochs])
+        offs_sub = starts + tsub / 2.0
+    else:
+        offs_sub = np.cumsum(tsub) - tsub / 2.0
 
     cols = [
         ("TSUBINT", "1D", "s", tsub),
@@ -163,10 +171,10 @@ class PsrfitsSearchWriter:
     """Streaming search-mode PSRFITS writer (digifits equivalent,
     ``Signal/General/LoadToFITS.C``).
 
-    Buffers detected, requantized blocks into NSBLK-sample subint rows.
-    Because our minimal FITS writer emits complete tables, rows are
-    accumulated and flushed on close (adequate for offline conversion;
-    a row-streaming variant can layer on cfitsio-style reserved rows).
+    Packs detected, requantized blocks into NSBLK-sample subint rows and
+    **streams each row to disk as it completes** — memory is bounded by one
+    row regardless of observation length (the reference relies on cfitsio
+    row appends the same way).  NAXIS2 is patched at close.
     """
 
     def __init__(self, path: str, obs: Observation, nbits: int = 8,
@@ -175,38 +183,30 @@ class PsrfitsSearchWriter:
         self.obs = obs
         self.nbits = nbits
         self.nsblk = nsblk
-        self._rows: List[np.ndarray] = []
         self._carry = np.zeros(0, np.uint8)
         self.row_bytes = nsblk * obs.nchan * obs.npol * nbits // 8
+        self.nrows = 0
 
-    def write_block(self, packed: np.ndarray) -> None:
-        buf = np.concatenate([self._carry, packed.ravel()])
-        nrows = len(buf) // self.row_bytes
-        for r in range(nrows):
-            self._rows.append(buf[r * self.row_bytes : (r + 1) * self.row_bytes])
-        self._carry = buf[nrows * self.row_bytes :]
-
-    def close(self) -> None:
-        obs = self.obs
-        nrows = len(self._rows)
-        if self._carry.size:
-            pad = np.zeros(self.row_bytes - self._carry.size, np.uint8)
-            self._rows.append(np.concatenate([self._carry, pad]))
-            nrows += 1
-        data = np.stack(self._rows) if nrows else np.zeros((0, self.row_bytes), np.uint8)
         nchan, npol = obs.nchan, obs.npol
-        freqs = np.array([obs.centre_frequency_of(i) for i in range(nchan)])
-        tsub = self.nsblk / obs.rate
+        self._freqs_be = np.array(
+            [obs.centre_frequency_of(i) for i in range(nchan)],
+            ">f8").tobytes()
+        self._wts_be = np.ones(nchan, ">f4").tobytes()
+        self._offs_be = np.zeros(nchan * npol, ">f4").tobytes()
+        self._scl_be = np.ones(nchan * npol, ">f4").tobytes()
+        self._tsub = self.nsblk / obs.rate
+
+        self._f = open(self.path, "w+b")
+        self._w = FitsWriter(self._f)
+        self._w.write_primary(_primary_cards(obs, "SEARCH"))
         cols = [
-            ("TSUBINT", "1D", "s", np.full(nrows, tsub)),
-            ("OFFS_SUB", "1D", "s", (np.arange(nrows) + 0.5) * tsub),
-            ("DAT_FREQ", f"{nchan}D", "MHz", np.tile(freqs, (nrows, 1))),
-            ("DAT_WTS", f"{nchan}E", "", np.ones((nrows, nchan), np.float32)),
-            ("DAT_OFFS", f"{nchan * npol}E", "",
-             np.zeros((nrows, nchan * npol), np.float32)),
-            ("DAT_SCL", f"{nchan * npol}E", "",
-             np.ones((nrows, nchan * npol), np.float32)),
-            ("DATA", f"{self.row_bytes}B", "", data),
+            ("TSUBINT", "1D", "s", 8),
+            ("OFFS_SUB", "1D", "s", 8),
+            ("DAT_FREQ", f"{nchan}D", "MHz", 8 * nchan),
+            ("DAT_WTS", f"{nchan}E", "", 4 * nchan),
+            ("DAT_OFFS", f"{nchan * npol}E", "", 4 * nchan * npol),
+            ("DAT_SCL", f"{nchan * npol}E", "", 4 * nchan * npol),
+            ("DATA", f"{self.row_bytes}B", "", self.row_bytes),
         ]
         extra = [
             ("NBIN", 1, ""),
@@ -218,10 +218,34 @@ class PsrfitsSearchWriter:
             ("TBIN", float(1.0 / obs.rate), "[s] sample time"),
             ("NSBLK", self.nsblk, "samples per row"),
         ]
-        with open(self.path, "wb") as f:
-            w = FitsWriter(f)
-            w.write_primary(_primary_cards(obs, "SEARCH"))
-            w.write_bintable("SUBINT", cols, extra)
+        self._w.begin_bintable("SUBINT", cols, extra)
+
+    def _emit_row(self, data: np.ndarray) -> None:
+        offs = (self.nrows + 0.5) * self._tsub
+        row = (np.array(self._tsub, ">f8").tobytes()
+               + np.array(offs, ">f8").tobytes()
+               + self._freqs_be + self._wts_be + self._offs_be
+               + self._scl_be + data.tobytes())
+        self._w.write_row(row)
+        self.nrows += 1
+
+    def write_block(self, packed: np.ndarray) -> None:
+        buf = np.concatenate([self._carry, packed.ravel()])
+        nrows = len(buf) // self.row_bytes
+        for r in range(nrows):
+            self._emit_row(buf[r * self.row_bytes : (r + 1) * self.row_bytes])
+        self._carry = buf[nrows * self.row_bytes :]
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        if self._carry.size:
+            pad = np.zeros(self.row_bytes - self._carry.size, np.uint8)
+            self._emit_row(np.concatenate([self._carry, pad]))
+            self._carry = np.zeros(0, np.uint8)
+        self._w.end_bintable()
+        self._f.close()
+        self._f = None
 
     def __enter__(self):
         return self

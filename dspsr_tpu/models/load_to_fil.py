@@ -49,8 +49,20 @@ class FilConfig:
     fscrunch_factor: int = 1  # -f
     npol_out: int = 1  # -d
     nbits: int = 8  # -b output bits
-    rescale_seconds: float = 0.0  # -I (0 = every block)
+    #: -I: seconds between rescale offset/scale updates; 0 = every block
+    #: (cumulative running stats).  Scales hold constant between updates
+    #: (reference Rescale interval semantics, Signal/General/Rescale.C)
+    rescale_seconds: float = 0.0
     rescale_constant: bool = False  # -c freeze after first block
+    #: select a single input polarization before the filterbank
+    #: (reference PolnSelect, LoadToFil.C:162-180)
+    poln_select: Optional[int] = None
+    #: remove inter-channel dispersion delays (-K SampleDelay) fused into
+    #: the chirp as per-channel phase ramps (DedispersionSampleDelay)
+    interchannel_align: bool = False
+    #: weights from the unpacker (2-bit excision) zero bad stretches before
+    #: rescale/requantize (reference WeightedTimeSeries threading)
+    apply_weights: bool = True
     #: channelizer: "fft" (dsp::Filterbank) or "polyphase"
     #: (dsp::PolyPhaseFilterbank; incoherent only)
     channelizer: str = "fft"
@@ -123,6 +135,9 @@ class FilPipeline:
         real_input = obs.state == Signal.NYQUIST
 
         self.unpack_plan = UnpackPlan(obs)
+        if cfg.poln_select is not None and not 0 <= cfg.poln_select < obs.npol:
+            raise ValueError(f"poln_select={cfg.poln_select} out of range")
+        self.npol_stream = 1 if cfg.poln_select is not None else obs.npol
         self.nchan_subband = max(1, cfg.nchan // obs.nchan)
         nchan_out = obs.nchan * self.nchan_subband
 
@@ -166,14 +181,27 @@ class FilPipeline:
         if cfg.dispersion_measure > 0:
             from ..ops import sc
 
-            ded = Dedispersion.build(
+            builder = (Dedispersion.build_interchannel_aligned
+                       if cfg.interchannel_align else Dedispersion.build)
+            ded = builder(
                 cfg.dispersion_measure, obs.centre_frequency, obs.bandwidth,
                 nchan_out, freq_res)
+            if cfg.interchannel_align:
+                # the delay ramps need extra overlap cover
+                self.fb_plan = FilterbankPlan(
+                    real_input=real_input, nchan_subband=self.nchan_subband,
+                    freq_res=freq_res, nfilt_pos=ded.impulse_pos,
+                    nfilt_neg=ded.impulse_neg)
+                self.fb_plan.validate()
             rr, ri = sc.from_numpy(ded.phasors)
             self._response_natural = (jnp.asarray(rr), jnp.asarray(ri))
         else:
+            if cfg.interchannel_align:
+                raise ValueError("-K needs a dispersion measure")
             self._response_natural = None
 
+        if cfg.poln_select is not None and cfg.npol_out != 1:
+            raise ValueError("poln_select implies npol_out=1")
         self.det_state = cfg.detection_state()
         if self.pfb_plan is not None:
             obs_s = obs.replace(
@@ -185,6 +213,7 @@ class FilPipeline:
             obs_s = obs_s.replace(rate=obs.rate / self.pfb_plan.step)
         else:
             obs_s = update_observation(obs, self.fb_plan)
+        obs_s = obs_s.replace(npol=self.npol_stream)
         obs_d = obs_s.apply_detection(self.det_state)
         obs_d = update_observation_fscrunch(obs_d, cfg.fscrunch_factor)
         obs_d = update_observation_tscrunch(obs_d, cfg.tscrunch_factor)
@@ -202,11 +231,75 @@ class FilPipeline:
         self.stride_in_samples = self.npart * step
         self._rescale_state = RescaleState.zeros(
             self.obs_out.nchan, self.obs_out.npol)
+        self._mean = jnp.zeros((self.obs_out.nchan, self.obs_out.npol),
+                               jnp.float32)
+        self._inv = jnp.ones((self.obs_out.nchan, self.obs_out.npol),
+                             jnp.float32)
         self._blocks_done = 0
+        self._since_update = 0
 
-    @partial(jax.jit, static_argnames=("self", "freeze"))
-    def _step(self, rescale_state, raw, freeze=False):
+    def _stream_weights(self, w, nuse):
+        """Unpacker block weights -> per-output-sample weights after the
+        filterbank and scrunches (conservative min; see
+        FoldPipeline._stream_weights)."""
+        if w is None:
+            return None
+        cfg = self.config
+        nchan_in, nweights = w.shape
+        npw = self.unpack_plan.ndat_per_weight
+        geom = self.pfb_plan if self.pfb_plan is not None else self.fb_plan
+        step = geom.step if self.pfb_plan is not None else geom.nsamp_step
+        nfft = (geom.window_samples if self.pfb_plan is not None
+                else geom.nsamp_fft)
+        nkeep = 1 if self.pfb_plan is not None else geom.nkeep
+        if nweights == 0:
+            return None
+        per_win = []
+        for p in range(self.npart):
+            a = min((p * step) // npw, nweights - 1)
+            b = max(min((p * step + nfft + npw - 1) // npw, nweights), a + 1)
+            per_win.append(jnp.min(w[:, a:b], axis=1))
+        wwin = jnp.stack(per_win, axis=1)  # [nchan_in, npart]
+        ex = jnp.broadcast_to(wwin[:, :, None],
+                              (nchan_in, self.npart, nkeep))
+        ex = ex.reshape(nchan_in, self.npart * nkeep)
+        # broadcast to output channels (pre-fscrunch)
+        nchan_fb = nchan_in * self.nchan_subband
+        ex = jnp.broadcast_to(ex[:, None, :],
+                              (nchan_in, self.nchan_subband, ex.shape[-1]))
+        ex = ex.reshape(nchan_fb, ex.shape[-1])
+        # scrunches: a scrunched sample is bad if ANY contributor was bad
+        f = cfg.fscrunch_factor
+        if f > 1:
+            ex = jnp.min(ex.reshape(nchan_fb // f, f, ex.shape[-1]), axis=1)
+        t = cfg.tscrunch_factor
+        if t > 1:
+            n = (ex.shape[-1] // t) * t
+            ex = jnp.min(ex[:, :n].reshape(ex.shape[0], n // t, t), axis=2)
+        return ex[:, :nuse]
+
+    @partial(jax.jit, static_argnames=("self", "mode"))
+    def _step(self, rescale_state, mean, inv, raw, mode="cumulative"):
+        """One block: unpack -> [PolnSelect] -> filterbank -> detect ->
+        scrunch -> [weights] -> rescale -> digitize.
+
+        mode selects the Rescale update semantics
+        (``Signal/General/Rescale.C``):
+          cumulative  accumulate + use running stats (every-block update)
+          hold        frozen stats: use the passed mean/inv unchanged
+          acc_hold    accumulate for the next interval, apply passed scales
+          acc_update  interval boundary: accumulate, derive new scales,
+                      reset the accumulator
+        """
+        from ..ops.rescale import accumulate, apply_scales, state_mean_scale
+
         x, w = self.unpack_plan.unpack(raw)
+        if self.config.poln_select is not None:
+            p = self.config.poln_select
+            if isinstance(x, tuple):
+                x = (x[0][:, p : p + 1], x[1][:, p : p + 1])
+            else:
+                x = x[:, p : p + 1]
         if self.pfb_plan is not None:
             from ..ops.polyphase import polyphase_filterbank_block
 
@@ -218,10 +311,21 @@ class FilPipeline:
         d = detect(y, self.det_state)
         d = fscrunch(d, self.config.fscrunch_factor)
         d = tscrunch(d, self.config.tscrunch_factor)
-        rescale_state, z = rescale_block(rescale_state, d, freeze=freeze)
-        mean, scale = self.config.digi_params()
-        packed = digitize(z, self.config.nbits, mean, scale)
-        return rescale_state, packed
+        weights = (self._stream_weights(w, d.shape[-1])
+                   if self.config.apply_weights else None)
+        if mode == "cumulative":
+            rescale_state = accumulate(rescale_state, d, weights)
+            mean, inv = state_mean_scale(rescale_state)
+        elif mode == "acc_hold":
+            rescale_state = accumulate(rescale_state, d, weights)
+        elif mode == "acc_update":
+            rescale_state = accumulate(rescale_state, d, weights)
+            mean, inv = state_mean_scale(rescale_state)
+            rescale_state = RescaleState.zeros(*rescale_state.count.shape)
+        z = apply_scales(d, mean, inv, weights)
+        dmean, dscale = self.config.digi_params()
+        packed = digitize(z, self.config.nbits, dmean, dscale)
+        return rescale_state, mean, inv, packed
 
     def run(self, output_path: str, max_blocks: Optional[int] = None,
             total_seconds: Optional[float] = None,
@@ -253,12 +357,33 @@ class FilPipeline:
 
         start = 0
         nblocks = 0
+        out_per_block = None
+        interval_out = (int(cfg.rescale_seconds * self.obs_out.rate)
+                        if cfg.rescale_seconds > 0 else 0)
         while start + self.block_in_samples <= nsamp_total:
             raw = src.read_samples(start, self.block_in_samples)
-            freeze = cfg.rescale_constant and self._blocks_done > 0
-            self._rescale_state, packed = self._step(
-                self._rescale_state, jnp.asarray(raw), freeze)
-            out.write_block(np.asarray(packed))
+            if self._blocks_done == 0:
+                mode = "cumulative"  # bootstrap scales from the first block
+            elif cfg.rescale_constant:
+                mode = "hold"
+            elif interval_out:
+                self._since_update += out_per_block
+                if self._since_update >= interval_out:
+                    mode = "acc_update"
+                    self._since_update = 0
+                else:
+                    mode = "acc_hold"
+            else:
+                mode = "cumulative"
+            self._rescale_state, self._mean, self._inv, packed = self._step(
+                self._rescale_state, self._mean, self._inv,
+                jnp.asarray(raw), mode)
+            arr = np.asarray(packed)
+            if out_per_block is None:
+                bits_per_samp = self.obs_out.nchan * self.obs_out.npol \
+                    * cfg.nbits
+                out_per_block = arr.size * 8 // max(bits_per_samp, 1)
+            out.write_block(arr)
             start += self.stride_in_samples
             nblocks += 1
             self._blocks_done += 1

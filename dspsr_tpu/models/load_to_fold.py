@@ -137,7 +137,7 @@ class FoldResult:
 
     profiles: np.ndarray  # [nsub, nchan, npol, nbin]
     hits: np.ndarray  # [nsub, nchan, nbin]
-    epochs: list  # MJD mid-time per subint
+    epochs: list  # MJD of each subint's first folded data (TimeDivide start)
     integration_length: np.ndarray  # seconds per subint
     obs: Observation  # output-domain observation (channelized, detected)
     nbin: int = 0
@@ -336,6 +336,29 @@ class FoldPipeline:
                        if cfg.interchannel_align else Dedispersion.build)
             self.kernel = builder(
                 self.dm, obs.centre_frequency, obs.bandwidth, nchan_out, ndat_fft)
+            if cfg.interchannel_align and not cfg.frequency_resolution:
+                # the -K delay ramps can need far more overlap cover than the
+                # intra-channel smear: grow the FFT until it fits
+                # (Response::set_optimal_ndat role)
+                while (self.kernel.impulse_total >= ndat_fft
+                       and ndat_fft < cfg.max_nfft):
+                    ndat_fft = choose_nfft(self.kernel.impulse_total,
+                                           max_nfft=cfg.max_nfft)
+                    self.kernel = builder(self.dm, obs.centre_frequency,
+                                          obs.bandwidth, nchan_out, ndat_fft)
+                if self.fb_plan is not None and \
+                        ndat_fft != self.fb_plan.freq_res:
+                    self.fb_plan = FilterbankPlan(
+                        real_input=self.fb_plan.real_input,
+                        nchan_subband=self.fb_plan.nchan_subband,
+                        freq_res=ndat_fft,
+                        nfilt_pos=self.fb_plan.nfilt_pos,
+                        nfilt_neg=self.fb_plan.nfilt_neg)
+                elif self.conv_plan is not None and \
+                        ndat_fft != self.conv_plan.n_fft:
+                    self.conv_plan = OverlapSavePlan(
+                        self.conv_plan.real_input, ndat_fft,
+                        self.conv_plan.nfilt_pos, self.conv_plan.nfilt_neg)
             if cfg.interchannel_align and self.fb_plan is not None:
                 # delay ramp needs overlap cover: rebuild the plan with the
                 # enlarged impulse_pos
@@ -486,6 +509,10 @@ class FoldPipeline:
         self._div_samples = 0.0
         self._first_out_time: Optional[MJD] = None
         self._last_out_time: Optional[MJD] = None
+        #: epoch of the first data folded into the current division (the
+        #: TRUE subint start, reference TimeDivide division bookkeeping —
+        #: not the arrival time of some later block)
+        self._div_first_time: Optional[MJD] = None
         self._byte_counts = np.zeros(256, np.int64)
 
     def _mega_eligible(self) -> bool:
@@ -911,6 +938,8 @@ class FoldPipeline:
                              nsamp_total / self.obs_in.rate)
             if self._first_out_time is None:
                 self._first_out_time = batch[0][3]
+            if self._div_first_time is None:
+                self._div_first_time = batch[0][3]
             self._last_out_time = batch[-1][3] + nuse * tsamp_out
             self._div_samples += nuse * len(batch)
             nblocks += len(batch)
@@ -976,10 +1005,10 @@ class FoldPipeline:
                 hits, (self.obs_out.nchan, self.nbin)).copy()
         nchan, npol = prof.shape[0], prof.shape[1]
         self._subints.append(
-            (prof, hits,
-             self._first_out_time if not self._subints else self._last_out_time,
+            (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.obs_out.rate)
         )
+        self._div_first_time = None
         if self.mega_plan is not None:
             self._profiles = jnp.zeros(
                 (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)

@@ -186,8 +186,14 @@ class Dedispersion(Response):
         binwidth = chanwidth / ndat
         # natural-order bin frequency offsets from the channel centre (MHz)
         freq = np.arange(ndat) * binwidth - 0.5 * chanwidth
-        # remove the delay: multiply by exp(+2 pi i f dt) (f in MHz, dt in us)
-        phase = 2.0 * np.pi * freq[None, :] * (delays[:, None] * 1e6)
+        # remove the delay: multiply by exp(+2 pi i nu dt) with nu the
+        # *baseband* frequency of the bin (dt in us).  For a negative
+        # (lower-sideband) bandwidth the sky offset `freq` is the negated
+        # baseband frequency, so the ramp carries the sideband sign — using
+        # the sky offset directly would double the dispersion spread instead
+        # of cancelling it.
+        sideband = 1.0 if bandwidth > 0 else -1.0
+        phase = sideband * 2.0 * np.pi * freq[None, :] * (delays[:, None] * 1e6)
         ded.phasors = (ded.phasors.astype(np.complex128)
                        * np.exp(1j * phase)).astype(np.complex64)
         extra = int(math.ceil(np.max(delays) * chan_rate)) + 1

@@ -43,21 +43,44 @@ def state_mean_scale(state: RescaleState) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @partial(jax.jit, static_argnames=("freeze",))
 def rescale_block(
-    state: RescaleState, x: jnp.ndarray, freeze: bool = False
+    state: RescaleState, x: jnp.ndarray, freeze: bool = False,
+    weights=None,
 ) -> Tuple[RescaleState, jnp.ndarray]:
     """Apply (x - mean) * inv_std using statistics accumulated *including*
     this block (matching Rescale's per-interval update), and return updated
     state.  With ``freeze`` the state is not updated (digifil constant
-    offset/scale mode)."""
-    if not freeze:
-        state = RescaleState(
+    offset/scale mode).
+
+    ``weights`` (optional float32[nchan, ndat], 0/1): bad samples are
+    excluded from the statistics and zeroed in the output (the reference
+    threads WeightedTimeSeries weights through Rescale)."""
+    state = accumulate(state, x, weights) if not freeze else state
+    mean, inv = state_mean_scale(state)
+    return state, apply_scales(x, mean, inv, weights)
+
+
+def accumulate(state: RescaleState, x: jnp.ndarray,
+               weights=None) -> RescaleState:
+    if weights is None:
+        return RescaleState(
             count=state.count + x.shape[-1],
             total=state.total + jnp.sum(x, axis=-1),
             sumsq=state.sumsq + jnp.sum(x * x, axis=-1),
         )
-    mean, inv = state_mean_scale(state)
+    w = weights[:, None, :]
+    return RescaleState(
+        count=state.count + jnp.sum(w, axis=-1),
+        total=state.total + jnp.sum(x * w, axis=-1),
+        sumsq=state.sumsq + jnp.sum(x * x * w, axis=-1),
+    )
+
+
+def apply_scales(x: jnp.ndarray, mean: jnp.ndarray, inv: jnp.ndarray,
+                 weights=None) -> jnp.ndarray:
     y = (x - mean[:, :, None]) * inv[:, :, None]
-    return state, y
+    if weights is not None:
+        y = y * weights[:, None, :]
+    return y
 
 
 @jax.jit

@@ -107,6 +107,7 @@ class ShardedFoldPipeline:
         self._div_samples = 0.0
         self._first_out_time: Optional[MJD] = None
         self._last_out_time: Optional[MJD] = None
+        self._div_first_time: Optional[MJD] = None
         self._byte_counts = np.zeros(256, np.int64)
 
     # ---- the jitted superblock step ----
@@ -185,9 +186,9 @@ class ShardedFoldPipeline:
         prof = np.asarray(self._profiles)
         hits = np.asarray(self._hits)
         self._subints.append(
-            (prof, hits,
-             self._first_out_time if not self._subints else self._last_out_time,
+            (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.inner.obs_out.rate))
+        self._div_first_time = None
         self._profiles = jnp.zeros_like(self._profiles)
         self._hits = jnp.zeros_like(self._hits)
         self._div_samples = 0.0
@@ -244,6 +245,8 @@ class ShardedFoldPipeline:
 
             if self._first_out_time is None:
                 self._first_out_time = t0s[0]
+            if self._div_first_time is None:
+                self._div_first_time = t0s[0]
             self._last_out_time = t0s[-1] + nuse * tsamp_out
             self._div_samples += nuse * self.n_time
             start += self.superblock_stride

@@ -275,3 +275,69 @@ class TestDump:
         got = p2.argmax() / res2.nbin
         err = min(abs(got - expect), 1 - abs(got - expect))
         assert err < 0.02, (got, expect)
+
+
+class TestSubintEpochs:
+    def test_epochs_are_exact_division_starts(self, pulsar_file):
+        """Each subint epoch equals the output time of its first folded
+        block — exact MJD arithmetic, not block-arrival bookkeeping
+        (reference TimeDivide.C boundary computation)."""
+        sub = 0.011
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, subint_seconds=sub,
+                         min_block_samples=0)
+        src = open_source(pulsar_file)
+        pipe = FoldPipeline(src, cfg)
+        res = pipe.run()
+        assert len(res.epochs) >= 3
+
+        # replay the block schedule: predicted epoch of each division =
+        # t_out0 of the first block whose division index is new
+        t0s = []
+        start = 0
+        while start + pipe.block_in_samples <= src.total_samples:
+            t0s.append(pipe.output_start_time(start))
+            start += pipe.stride_in_samples
+        ref = t0s[0]
+        want = []
+        seen = set()
+        for t in t0s:
+            d = int((t - ref) / sub)
+            if d not in seen:
+                seen.add(d)
+                want.append(t)
+        for got, exp in zip(res.epochs, want):
+            assert abs(got - exp) < 1e-12, (float(got - exp))
+
+    def test_epochs_with_seek(self, pulsar_file):
+        """-S seek shifts all epochs by exactly the seek amount."""
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, subint_seconds=0.011,
+                         min_block_samples=0)
+        r0 = FoldPipeline(open_source(pulsar_file), cfg).run()
+        seek = 0.02
+        import dataclasses as _dc
+
+        cfg2 = _dc.replace(cfg, seek_seconds=seek)
+        pipe2 = FoldPipeline(open_source(pulsar_file), cfg2)
+        r2 = pipe2.run()
+        seek_samples = int(seek * RATE)
+        expect0 = pipe2.output_start_time(seek_samples)
+        assert abs(r2.epochs[0] - expect0) < 1e-12
+
+    def test_archive_offs_sub_gap_aware(self, pulsar_file, tmp_path):
+        """OFFS_SUB in the written archive = epoch - obs start + tsub/2."""
+        from dspsr_tpu.io.psrfits import save_psrfits_fold
+        from dspsr_tpu.io.psrfits_in import load_psrfits_fold
+
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, subint_seconds=0.011,
+                         min_block_samples=0)
+        res = FoldPipeline(open_source(pulsar_file), cfg).run()
+        p = str(tmp_path / "ep.ar")
+        save_psrfits_fold(p, res)
+        arch = load_psrfits_fold(p)
+        offs = np.asarray(arch.offs_sub, float).reshape(-1)
+        want = np.array([e - res.obs.start_time for e in res.epochs]) \
+            + np.asarray(res.integration_length) / 2.0
+        np.testing.assert_allclose(offs, want, atol=1e-9)

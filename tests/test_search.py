@@ -200,3 +200,159 @@ class TestPolyphaseChannelizer:
             load_to_fil(src, "/tmp/x.fil",
                         FilConfig(nchan=8, channelizer="polyphase",
                                   dispersion_measure=1.0))
+
+
+class TestChainCompleteness:
+    """Round-2 digifil chain items: weights, -I interval rescale,
+    PolnSelect, -K, streaming PSRFITS (LoadToFil.C:162-374,
+    Rescale.C, LoadToFITS.C:135-490)."""
+
+    def _twobit_file(self, tmp_path, nsamp=1 << 16, bad=(20000, 28000)):
+        """2-bit complex dual-pol stream with a saturated (excisable)
+        stretch; returns path."""
+        rng = np.random.default_rng(3)
+        codes = rng.choice(4, size=nsamp * 4,
+                           p=[0.1615, 0.3385, 0.3385, 0.1615]).astype(np.uint8)
+        c = codes.reshape(-1, 4)
+        q = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+        q[bad[0]:bad[1]] = 255
+        from dspsr_tpu.io.dada import format_ascii_header, header_from_observation
+        from dspsr_tpu.timing.mjd import MJD
+
+        obs = Observation(nchan=1, npol=2, ndim=2, nbit=2,
+                          centre_frequency=CF, bandwidth=BW, rate=1e6,
+                          start_time=MJD(55000, 0.1), state=Signal.ANALYTIC,
+                          source="W", telescope="PKS", instrument="TB")
+        p = str(tmp_path / "tb.dada")
+        with open(p, "wb") as f:
+            f.write(format_ascii_header(header_from_observation(obs)))
+            f.write(q.tobytes())
+        return p
+
+    def test_weights_zero_bad_stretch(self, tmp_path):
+        p = self._twobit_file(tmp_path)
+        cfg = FilConfig(nchan=4, nbits=32, min_block_samples=8192)
+        out = str(tmp_path / "w.fil")
+        pipe = FilPipeline(open_source(p), cfg)
+        pipe.run(out)
+        hdr, data_off = read_sigproc_header(out)
+        d = np.fromfile(out, np.float32, offset=data_off).reshape(-1, 4)
+        # the saturated stretch maps to zeroed output samples
+        assert (np.abs(d) < 1e-12).any(axis=1).sum() > 100
+        # healthy samples are rescaled ~N(0,1)
+        good = d[np.abs(d).sum(axis=1) > 1e-6]
+        assert 0.5 < good.std() < 2.0
+
+    def test_weights_can_be_disabled(self, tmp_path):
+        p = self._twobit_file(tmp_path)
+        cfg = FilConfig(nchan=4, nbits=32, min_block_samples=8192,
+                        apply_weights=False)
+        out = str(tmp_path / "nw.fil")
+        FilPipeline(open_source(p), cfg).run(out)
+        hdr, data_off = read_sigproc_header(out)
+        d = np.fromfile(out, np.float32, offset=data_off).reshape(-1, 4)
+        assert (np.abs(d) < 1e-12).any(axis=1).sum() < 50
+
+    def test_rescale_interval_holds_scales(self, tmp_path):
+        """-I: with a step change in level mid-stream, interval rescale
+        lags (holds scales), every-block rescale tracks."""
+        rng = np.random.default_rng(5)
+        nsamp = 1 << 15
+        x = rng.standard_normal((nsamp, 2, 2)) * 8.0
+        x[nsamp // 2:] *= 4.0  # level step
+        q = np.clip(np.round(x + 127.5), 0, 255).astype(np.uint8)
+        from dspsr_tpu.io.dada import format_ascii_header, header_from_observation
+        from dspsr_tpu.timing.mjd import MJD
+
+        obs = Observation(nchan=1, npol=2, ndim=2, nbit=8,
+                          centre_frequency=CF, bandwidth=BW, rate=1e6,
+                          start_time=MJD(55000, 0.1), state=Signal.ANALYTIC,
+                          source="I", telescope="PKS", instrument="T")
+        p = str(tmp_path / "step.dada")
+        with open(p, "wb") as f:
+            f.write(format_ascii_header(header_from_observation(obs)))
+            f.write(q.tobytes())
+
+        def run(rescale_seconds):
+            cfg = FilConfig(nchan=4, nbits=32, min_block_samples=2048,
+                            block_parts=1, rescale_seconds=rescale_seconds)
+            out = str(tmp_path / f"i{rescale_seconds}.fil")
+            pipe = FilPipeline(open_source(p), cfg)
+            pipe.run(out)
+            hdr, off = read_sigproc_header(out)
+            return np.fromfile(out, np.float32, offset=off).reshape(-1, 4)
+
+        every = run(0.0)
+        held = run(1.0)  # interval longer than the file: scales frozen
+        n = min(len(every), len(held))
+        a, b = every[:n], held[:n]
+        # after the step, frozen scales leave the level jump visible
+        assert b[3 * n // 4:].std() > 2.0 * a[3 * n // 4:].std()
+
+    def test_poln_select(self, tmp_path):
+        p = synth_pulsar_dada(str(tmp_path / "ps.dada"), nsec=0.05, dm=0)
+        cfg = FilConfig(nchan=4, nbits=32, min_block_samples=4096,
+                        poln_select=1)
+        out = str(tmp_path / "ps.fil")
+        pipe = FilPipeline(open_source(p), cfg)
+        assert pipe.obs_out.npol == 1
+        pipe.run(out)
+        hdr, off = read_sigproc_header(out)
+        assert int(hdr["nifs"]) == 1
+
+    def test_interchannel_align_moves_pulse(self, tmp_path):
+        """-K: channels align in time (peak at the same output sample)."""
+        p = synth_pulsar_dada(str(tmp_path / "k.dada"), nsec=0.2, amp=30.0)
+        outs = {}
+        for tag, k in (("plain", False), ("aligned", True)):
+            cfg = FilConfig(nchan=4, nbits=32, dispersion_measure=DM,
+                            tscrunch_factor=4, min_block_samples=16384,
+                            interchannel_align=k)
+            out = str(tmp_path / f"{tag}.fil")
+            FilPipeline(open_source(p), cfg).run(out)
+            hdr, off = read_sigproc_header(out)
+            outs[tag] = np.fromfile(out, np.float32, offset=off).reshape(-1, 4)
+
+        def peak_spread(d):
+            # fold at the pulse period and find per-channel peak phase
+            tsamp = 4 * 4 / RATE
+            nbin = 16
+            ph = ((np.arange(len(d)) * tsamp / PERIOD) * nbin).astype(int) % nbin
+            prof = np.zeros((nbin, 4))
+            np.add.at(prof, ph, d)
+            pk = np.argmax(prof, axis=0)
+            diff = (pk[:, None] - pk[None, :]) % nbin
+            diff = np.minimum(diff, nbin - diff)
+            return diff.max()
+
+        assert peak_spread(outs["aligned"]) <= peak_spread(outs["plain"])
+        assert peak_spread(outs["aligned"]) <= 1
+
+    def test_psrfits_streaming_bounded_memory(self, tmp_path):
+        """Rows hit the disk as they complete; writer state stays O(row)."""
+        from dspsr_tpu.io.psrfits import PsrfitsSearchWriter
+        from dspsr_tpu.timing.mjd import MJD
+
+        obs = Observation(nchan=8, npol=1, ndim=1, nbit=8,
+                          centre_frequency=CF, bandwidth=BW, rate=1e4,
+                          start_time=MJD(55000, 0.1), state=Signal.INTENSITY,
+                          source="S", telescope="PKS", instrument="T")
+        path = str(tmp_path / "soak.sf")
+        w = PsrfitsSearchWriter(path, obs, nbits=8, nsblk=1024)
+        import os as _os
+
+        block = np.zeros(8 * 1024, np.uint8)  # exactly one row per block
+        sizes = []
+        for i in range(64):
+            w.write_block(block)
+            if i % 16 == 15:
+                w._f.flush()
+                sizes.append(_os.path.getsize(path))
+        assert sizes[-1] > sizes[0]  # rows stream out incrementally
+        assert w._carry.size == 0
+        w.close()
+        from dspsr_tpu.io.fits import read_fits_headers
+
+        hdus = read_fits_headers(path)
+        sub = [h for h in hdus if h.get("EXTNAME", "").strip("' ") == "SUBINT"][0]
+        assert int(sub["NAXIS2"]) == 64
