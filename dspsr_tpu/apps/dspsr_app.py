@@ -41,6 +41,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "matrix convolution (reference PolnCalibration)")
     p.add_argument("-p", "--phase", type=float, default=0.0,
                    help="reference phase of bin zero")
+    p.add_argument("--pulsar", action="append", default=[], metavar="SPEC",
+                   help="fold an ADDITIONAL source in the same pass: a "
+                        "period in seconds, a polyco, or a .par file "
+                        "(repeatable; reference multi-pulsar folding)")
+    p.add_argument("--fft-window", default=None,
+                   choices=["none", "hanning", "welch", "parzen", "tukey"],
+                   help="apodize each FFT window (reference --fft-window)")
+    p.add_argument("--passband", action="store_true",
+                   help="integrate the bandpass and attach it to the archive")
+    p.add_argument("-a", "--archive", default=None, metavar="CLASS",
+                   help="output archive class: psrfits | npz "
+                        "(default: from -O extension, else npz)")
+    p.add_argument("-e", "--extension", default=None,
+                   help="output filename extension (reference -e)")
+    p.add_argument("-N", "--name", default=None,
+                   help="override the source name (reference -N)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override an Observation attribute before "
+                        "processing (reference --set / ObservationChange)")
     # detection
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
                    help="output polns: 1=I 2=PPQQ 4=Stokes")
@@ -134,6 +153,12 @@ def main(argv=None) -> int:
         cyclic_nchan=args.cyclic,
         cyclic_mover=args.cyclic_mover,
         dump_path=args.dump,
+        additional_pulsars=tuple(
+            float(s) if s.replace(".", "", 1).isdigit() else s
+            for s in args.pulsar),
+        fft_window=(None if args.fft_window in (None, "none")
+                    else args.fft_window),
+        passband=args.passband,
         **({"min_block_samples": int(args.ram_mb * 1e6 / 4)}
            if args.ram_mb else {}),
     )
@@ -145,6 +170,18 @@ def main(argv=None) -> int:
     else:
         src = (open_source(args.files[0]) if len(args.files) == 1
                else MultiFile(args.files))
+    if args.name or args.set:
+        # ObservationChange (--set key=value + -N): override metadata on the
+        # data-side Observation before construction
+        o = src.obs
+        if args.name:
+            o = o.replace(source=args.name)
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            cur = getattr(o, k)
+            o = o.replace(**{k: type(cur)(v) if cur is not None
+                             and not isinstance(cur, str) else v})
+        src.obs = o
     if not args.quiet:
         o = src.obs
         print(f"dspsr-tpu: {o.source} {o.centre_frequency} MHz BW {o.bandwidth} "
@@ -162,11 +199,16 @@ def main(argv=None) -> int:
     ipass = 0
     while True:
         res = pipe.run(total_seconds=args.total)
-        out = args.output or filename_epoch(res)
+        ext = args.extension or ("ar" if args.archive == "psrfits" else "npz")
+        out = args.output or filename_epoch(res, ext=ext)
         if args.repeat is not None and ipass > 0:
             root, dot, ext = out.rpartition(".")
             out = f"{root}_r{ipass}{dot}{ext}" if dot else f"{out}_r{ipass}"
         save_archive(out, res)
+        for i, extra in enumerate(res.extra_sources or []):
+            root, dot, e2 = out.rpartition(".")
+            save_archive(f"{root}_src{i + 1}{dot}{e2}" if dot
+                         else f"{out}_src{i + 1}", extra)
         if not args.quiet:
             nsub = res.profiles.shape[0]
             print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "

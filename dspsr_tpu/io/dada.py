@@ -144,6 +144,8 @@ def header_from_observation(obs: Observation, extra: Dict[str, str] | None = Non
     }
     if obs.dispersion_measure:
         keys["DM"] = repr(obs.dispersion_measure)
+    if obs.calfreq:
+        keys["CALFREQ"] = repr(obs.calfreq)
     if extra:
         keys.update(extra)
     return keys

@@ -117,7 +117,85 @@ def save_psrfits_fold(path: str, result: "FoldResult") -> None:
                 ("DATA", f"{len(dc)}K", "", dc.reshape(1, -1)),
             ], [("NLEV", len(dc), "digitizer states"),
                 ("DIGLEV", "FIX", "")])
+        if result.passband is not None:
+            _write_bandpass(w, result)
+        if getattr(result, "ephemeris", None) is not None:
+            _write_psrparam(w, result.ephemeris)
+        _write_polyco(w, getattr(result, "predictor", None))
         w.write_bintable("SUBINT", cols, extra)
+
+
+def _write_bandpass(w: "FitsWriter", result: "FoldResult") -> None:
+    """PSRFITS BANDPASS extension: the integrated pre-detection bandpass
+    (role of the reference's Passband archive extension,
+    ``Signal/Pulsar/ArchiverExtensions.C``)."""
+    pb = np.asarray(result.passband, np.float64)  # [nchan, npol, nres]
+    nchan, npol, nres = pb.shape
+    flat = pb.transpose(1, 0, 2).reshape(1, npol * nchan * nres)
+    scale = flat.max() or 1.0
+    w.write_bintable("BANDPASS", [
+        ("DAT_OFFS", f"{npol}E", "", np.zeros((1, npol), np.float32)),
+        ("DAT_SCL", f"{npol}E", "",
+         np.full((1, npol), scale / 65535.0, np.float32)),
+        ("DATA", f"{npol * nchan * nres}I", "",
+         np.round(flat / scale * 65535.0 - 32768.0).astype(np.int16)),
+    ], [("NCH_ORIG", nchan * nres, "original channels"),
+        ("NPOL", npol, "")])
+
+
+def _write_psrparam(w: "FitsWriter", ephemeris) -> None:
+    """PSRFITS PSRPARAM extension: the pulsar ephemeris, one parameter line
+    per row (what PSRCHIVE stores from Parameters)."""
+    lines = []
+    try:
+        items = ephemeris.items() if hasattr(ephemeris, "items") else \
+            ephemeris.params.items()
+    except AttributeError:
+        items = []
+    for k, v in items:
+        lines.append(f"{k:<12s} {v}")
+    if not lines:
+        return
+    w.write_bintable("PSRPARAM", [
+        ("PARAM", "128A", "",
+         np.array([ln[:128].ljust(128) for ln in lines], dtype="S128")),
+    ], [])
+
+
+def _write_polyco(w: "FitsWriter", predictor) -> None:
+    """PSRFITS POLYCO extension from a TEMPO polyco predictor (the reference
+    Archiver attaches the polycos used for folding)."""
+    from ..timing.polyco import Polyco
+
+    if not isinstance(predictor, Polyco):
+        return
+    blocks = predictor.blocks
+    n = len(blocks)
+    ncoef = max(b.ncoef for b in blocks)
+    coefs = np.zeros((n, ncoef), np.float64)
+    for i, b in enumerate(blocks):
+        coefs[i, : b.ncoef] = b.coefs
+    w.write_bintable("POLYCO", [
+        ("DATE_PRO", "24A", "", np.array([b" " * 24] * n, dtype="S24")),
+        ("POLYVER", "16A", "", np.array([b"tempo"] * n, dtype="S16")),
+        ("NSPAN", "1I", "min",
+         np.array([int(b.span_minutes) for b in blocks], np.int16)),
+        ("NCOEF", "1I", "", np.array([b.ncoef for b in blocks], np.int16)),
+        ("NPBLK", "1I", "", np.full(n, n, np.int16)),
+        ("NSITE", "8A", "",
+         np.array([str(b.obs)[:8].ljust(8) for b in blocks], dtype="S8")),
+        ("REF_FREQ", "1D", "MHz",
+         np.array([b.obsfreq for b in blocks], np.float64)),
+        ("PRED_PHS", "1D", "",
+         np.array([getattr(b, "binary_phase", 0.0) or 0.0 for b in blocks])),
+        ("REF_MJD", "1D", "",
+         np.array([b.tmid.days + b.tmid.fracday() for b in blocks])),
+        ("REF_PHS", "1D", "", np.array([b.rphase % 1.0 for b in blocks])),
+        ("REF_F0", "1D", "Hz", np.array([b.f0 for b in blocks])),
+        ("LGFITERR", "1D", "",
+         np.array([b.log10_rms for b in blocks])),
+        ("COEFF", f"{ncoef}D", "", coefs),
+    ], [])
 
 
 def _write_history(w: "FitsWriter", result: "FoldResult") -> None:

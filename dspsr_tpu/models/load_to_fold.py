@@ -58,12 +58,25 @@ class FoldConfig:
     folding_period: Optional[float] = None  # -c
     polyco_path: Optional[str] = None  # -P
     ephemeris_path: Optional[str] = None  # -E
+    #: fold additional sources in the same pass: each entry a period (s),
+    #: a polyco/T2 predictor path, or a .par path (reference multi-pulsar
+    #: folding via ObservationChange + one Fold per source,
+    #: LoadToFold1.C:1155-1242); results land in FoldResult.extra_sources
+    additional_pulsars: tuple = ()
     #: Jones polarization calibration: solution file or cal database
     #: (reference PolnCalibration + matrix convolution)
     calibration_path: Optional[str] = None
     #: measure FFT costs on the backend and pick the cheapest length
     #: (reference --fft-bench -> OptimalFFT; default: analytic model)
     use_fft_bench: bool = False
+    #: taper applied to each window before the forward FFT
+    #: (--fft-window; reference Apodization inside Convolution,
+    #: Convolution.C:379-387): none|hanning|welch|parzen|tukey
+    fft_window: Optional[str] = None
+    #: integrate the pre-detection bandpass during the run and attach it to
+    #: the archive (reference Response/Passband integration ->
+    #: Archiver Passband extension, Archiver.C:407-773)
+    passband: bool = False
     reference_phase: float = 0.0  # -p
 
     # detection
@@ -151,6 +164,15 @@ class FoldResult:
     signal_path: Optional[list] = None
     #: [2**nbit] digitizer state counts over the run (DigitiserCounts)
     digitizer_counts: Optional[np.ndarray] = None
+    #: FoldResults of the additional pulsars folded in the same pass
+    extra_sources: Optional[list] = None
+    #: integrated pre-response bandpass [nchan, npol, freq_res]
+    #: (reference Passband extension source)
+    passband: Optional[np.ndarray] = None
+    #: the predictor/ephemeris used, for archive POLYCO / PSRPARAM tables
+    #: (reference Archiver attaches polycos + Parameters)
+    predictor: Optional[object] = None
+    ephemeris: Optional[object] = None
 
     def normalized(self) -> np.ndarray:
         """Profiles divided by hits (the archive convention,
@@ -211,6 +233,24 @@ class FoldPipeline:
 
     # ---- construction (LoadToFold::construct/prepare equivalents) ----
 
+    def _make_predictor(self, spec):
+        """Predictor from a multi-pulsar spec: a float period, a polyco /
+        TEMPO2 predictor path, or a .par ephemeris path."""
+        obs = self.obs_in
+        if isinstance(spec, (int, float)):
+            return FixedPeriodPredictor(float(spec), obs.start_time)
+        s = str(spec)
+        if s.endswith(".par"):
+            from ..timing.polyco import SpinPredictor
+
+            return SpinPredictor.from_ephemeris(Ephemeris.load(s))
+        from ..timing.t2pred import T2Predictor, load_predictor
+
+        p = load_predictor(s)
+        if isinstance(p, T2Predictor):
+            p.obsfreq = obs.centre_frequency
+        return p
+
     def _construct(self):
         cfg = self.config
         obs = self.obs_in
@@ -231,8 +271,21 @@ class FoldPipeline:
             # directly (see SpinPredictor docstring for validity bounds)
             from ..timing.polyco import SpinPredictor
             self.predictor = SpinPredictor.from_ephemeris(self.ephemeris)
+        elif obs.mode == "CAL" and obs.calfreq > 0:
+            # CAL-mode folding: fold at the pulsed-cal square-wave frequency
+            # (reference Fold::prepare CAL branch, Fold.C:190-227)
+            self.predictor = FixedPeriodPredictor(1.0 / obs.calfreq,
+                                                  obs.start_time)
         else:
-            raise ValueError("need folding_period, polyco_path, or ephemeris_path")
+            raise ValueError("need folding_period, polyco_path, "
+                             "ephemeris_path, or MODE=CAL with CALFREQ")
+
+        # extra pulsars folded in the same pass (reference multi-fold:
+        # LoadToFold::configure_fold builds one Fold per source,
+        # LoadToFold1.C:1155-1242)
+        self.predictors = [self.predictor]
+        for spec in (cfg.additional_pulsars or ()):
+            self.predictors.append(self._make_predictor(spec))
 
         if self.ephemeris is not None and not obs.coordinates:
             raj = self.ephemeris.get("RAJ")
@@ -495,15 +548,35 @@ class FoldPipeline:
                                 unpack_scale=scale, unpack_offset=offset)
             self._megastep = build_megastep(self.mega_plan, cst, self.npart)
 
+        # --- apodization window (built at the final FFT geometry) ---
+        if cfg.fft_window:
+            from ..ops.apodization import WindowType, build_window
+
+            nsamp_fft = (self.fb_plan.nsamp_fft if self.fb_plan is not None
+                         else (self.conv_plan.nsamp_fft
+                               if self.conv_plan is not None else 0))
+            if nsamp_fft == 0:
+                raise ValueError("fft_window needs an FFT stage")
+            self._apodization = jnp.asarray(
+                build_window(WindowType(cfg.fft_window), nsamp_fft))
+        else:
+            self._apodization = None
+
         # --- accumulators ---
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
+        nsrc = len(self.predictors)
         if self.mega_plan is not None:
             self._profiles = jnp.zeros(
                 (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)
             self._hits = jnp.zeros((1, self.nbin), jnp.float32)
+        elif nsrc > 1:
+            self._profiles = jnp.zeros((nsrc, nchan, npol, self.nbin),
+                                       jnp.float32)
+            self._hits = jnp.zeros((nsrc, nchan, self.nbin), jnp.float32)
         else:
             self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
             self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        self._acc_shapes = (self._profiles.shape, self._hits.shape)
         self._subints: list[FoldResult] = []
         self._current_div = 0
         self._div_samples = 0.0
@@ -514,6 +587,7 @@ class FoldPipeline:
         #: not the arrival time of some later block)
         self._div_first_time: Optional[MJD] = None
         self._byte_counts = np.zeros(256, np.int64)
+        self._passband = None
 
     def _mega_eligible(self) -> bool:
         """The fused Pallas step covers the flagship configuration: 8-bit
@@ -541,6 +615,9 @@ class FoldPipeline:
             and not cfg.dump_path
             and cfg.npol_out in (1, 2, 4)
             and (cfg.npol_out == 1 or obs.npol == 2)
+            and not cfg.additional_pulsars
+            and not cfg.fft_window
+            and not cfg.passband
         )
 
     def signal_path(self) -> list:
@@ -714,8 +791,15 @@ class FoldPipeline:
         # w: [nchan_in, nweights] block weights or None
         rfi = ((self.config.rfi_median_width, self.config.rfi_threshold)
                if self.config.rfi_filter else None)
+        pb = None
         if self.fb_plan is not None:
-            spec = forward_spectra_chunked(x, self.fb_plan, self.npart)
+            spec = forward_spectra_chunked(x, self.fb_plan, self.npart,
+                                           self._apodization)
+            if self.config.passband:
+                # integrated pre-response bandpass (reference Response
+                # passband integration during Convolution -> Archiver
+                # Passband extension)
+                pb = jnp.sum(spec[0] * spec[0] + spec[1] * spec[1], axis=2)
             resp = self._response_natural
             if sharded:
                 spec = tuple(jax.lax.dynamic_slice_in_dim(
@@ -743,10 +827,10 @@ class FoldPipeline:
                     jones = tuple((sl(r), sl(i)) for (r, i) in jones)
             if jones is not None:
                 y = overlap_save_convolve_jones(
-                    x, jones, self.conv_plan, self.npart)
+                    x, jones, self.conv_plan, self.npart, self._apodization)
             else:
                 y = overlap_save_convolve(
-                    x, resp_f, self.conv_plan, self.npart)
+                    x, resp_f, self.conv_plan, self.npart, self._apodization)
         else:
             if sharded:
                 def sl(a):
@@ -785,11 +869,26 @@ class FoldPipeline:
                 skw = jnp.concatenate(
                     [skw, jnp.ones((nchan, pad), jnp.float32)], axis=-1)
             weights = weights * skw[:, :nuse]
-        out = fold_block(
-            profiles, hits, d[..., :nuse], weights, phi0, dphi, self.fold_plan)
+        if profiles.ndim == 4:
+            # multi-pulsar: one fold per source over the shared detected
+            # stream (phi0/dphi are [nsrc, nseg])
+            ps, hs = [], []
+            for s in range(profiles.shape[0]):
+                p_, h_ = fold_block(profiles[s], hits[s], d[..., :nuse],
+                                    weights, phi0[s], dphi[s], self.fold_plan)
+                ps.append(p_)
+                hs.append(h_)
+            out = (jnp.stack(ps), jnp.stack(hs))
+        else:
+            out = fold_block(
+                profiles, hits, d[..., :nuse], weights, phi0, dphi,
+                self.fold_plan)
+        extras = []
         if dump is not None:
-            return (*out, dump)
-        return out
+            extras.append(dump)
+        if pb is not None:
+            extras.append(pb)
+        return (*out, *extras) if extras else out
 
     def _stream_weights(self, w, nchan, nuse, chan_ix=None, n_chan_shards=1):
         """Map unpacker block weights onto output samples.
@@ -901,8 +1000,16 @@ class FoldPipeline:
                 if self.config.digitizer_stats and self.obs_in.nbit <= 8:
                     self._byte_counts += np.bincount(raw, minlength=256)
                 with rep.stage("anchors"):
-                    phi0, dphi = compute_anchors(
-                        self.predictor, t_out0, tsamp_out, nuse, self.fold_plan.seg_len)
+                    if len(self.predictors) > 1:
+                        pairs = [compute_anchors(p, t_out0, tsamp_out, nuse,
+                                                 self.fold_plan.seg_len)
+                                 for p in self.predictors]
+                        phi0 = np.stack([a for a, _ in pairs])
+                        dphi = np.stack([b for _, b in pairs])
+                    else:
+                        phi0, dphi = compute_anchors(
+                            self.predictor, t_out0, tsamp_out, nuse,
+                            self.fold_plan.seg_len)
                 phi0 = (phi0 - self.config.reference_phase) % 1.0
                 batch.append((raw, phi0, dphi, t_out0))
                 start += self.stride_in_samples
@@ -921,11 +1028,16 @@ class FoldPipeline:
                     res = self._step(
                         self._profiles, self._hits, jnp.asarray(raw),
                         jnp.asarray(phi0), jnp.asarray(dphi))
+                    res = list(res)
+                    self._profiles, self._hits = res[0], res[1]
+                    k = 2
                     if self.config.dump_path:
-                        self._profiles, self._hits, dumped = res
-                        self._write_dump(np.asarray(dumped))
-                    else:
-                        self._profiles, self._hits = res
+                        self._write_dump(np.asarray(res[k]))
+                        k += 1
+                    if self.config.passband:
+                        pbb = np.asarray(res[k], np.float64)
+                        self._passband = (pbb if self._passband is None
+                                          else self._passband + pbb)
                 else:
                     raws = jnp.asarray(np.stack([b[0] for b in batch]))
                     p0s = jnp.asarray(np.stack([b[1] for b in batch]))
@@ -1003,47 +1115,67 @@ class FoldPipeline:
             prof = np.ascontiguousarray(prof.transpose(1, 0, 2))
             hits = np.broadcast_to(
                 hits, (self.obs_out.nchan, self.nbin)).copy()
-        nchan, npol = prof.shape[0], prof.shape[1]
         self._subints.append(
             (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.obs_out.rate)
         )
         self._div_first_time = None
-        if self.mega_plan is not None:
-            self._profiles = jnp.zeros(
-                (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)
-            self._hits = jnp.zeros((1, self.nbin), jnp.float32)
-        else:
-            self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
-            self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
+        self._profiles = jnp.zeros(self._acc_shapes[0], jnp.float32)
+        self._hits = jnp.zeros(self._acc_shapes[1], jnp.float32)
         self._div_samples = 0.0
 
     def _finish(self) -> FoldResult:
         if not self._subints:
             self._flush_division()
-        profs = np.stack([s[0] for s in self._subints]) if self._subints else (
-            np.zeros((0, self.obs_out.nchan, self.obs_out.npol, self.nbin)))
-        hits = np.stack([s[1] for s in self._subints]) if self._subints else (
-            np.zeros((0, self.obs_out.nchan, self.nbin)))
-        return FoldResult(
-            profiles=profs,
-            hits=hits,
-            epochs=[s[2] for s in self._subints],
-            integration_length=np.array([s[3] for s in self._subints]),
-            obs=self.obs_out,
-            nbin=self.nbin,
-            folding_period=self.folding_period,
-            dispersion_measure=self.dm,
-            cyclic_nlag=(self.cyclic_plan.nlag if self.cyclic_plan else 0),
-            cyclic_mover=(self.cyclic_plan.mover if self.cyclic_plan else 1),
-            cyclic_npol=self.obs_stream.npol if self.cyclic_plan else 1,
-            signal_path=self.signal_path(),
-            digitizer_counts=(
-                state_counts_from_byte_counts(self._byte_counts,
-                                              self.obs_in.nbit)
-                if self.config.digitizer_stats and self.obs_in.nbit <= 8
-                and self._byte_counts.any() else None),
-        )
+        nsrc = len(self.predictors)
+        multi = nsrc > 1 and self.mega_plan is None
+
+        def result(profs, hits, predictor, extras=None):
+            return FoldResult(
+                profiles=profs,
+                hits=hits,
+                epochs=[s[2] for s in self._subints],
+                integration_length=np.array(
+                    [s[3] for s in self._subints]),
+                obs=self.obs_out,
+                nbin=self.nbin,
+                folding_period=predictor.period(self.obs_in.start_time),
+                dispersion_measure=self.dm,
+                cyclic_nlag=(self.cyclic_plan.nlag if self.cyclic_plan else 0),
+                cyclic_mover=(self.cyclic_plan.mover
+                              if self.cyclic_plan else 1),
+                cyclic_npol=self.obs_stream.npol if self.cyclic_plan else 1,
+                signal_path=self.signal_path(),
+                digitizer_counts=(
+                    state_counts_from_byte_counts(self._byte_counts,
+                                                  self.obs_in.nbit)
+                    if self.config.digitizer_stats and self.obs_in.nbit <= 8
+                    and self._byte_counts.any() else None),
+                extra_sources=extras,
+                passband=self._passband,
+                predictor=predictor,
+                ephemeris=self.ephemeris,
+            )
+
+        if self._subints:
+            profs = np.stack([s[0] for s in self._subints])
+            hits = np.stack([s[1] for s in self._subints])
+        elif multi:
+            profs = np.zeros((0, nsrc, self.obs_out.nchan,
+                              self.obs_out.npol, self.nbin))
+            hits = np.zeros((0, nsrc, self.obs_out.nchan, self.nbin))
+        else:
+            profs = np.zeros((0, self.obs_out.nchan, self.obs_out.npol,
+                              self.nbin))
+            hits = np.zeros((0, self.obs_out.nchan, self.nbin))
+
+        if not multi:
+            return result(profs, hits, self.predictor)
+        # split the source axis into one FoldResult per pulsar
+        extras = [result(profs[:, s], hits[:, s], self.predictors[s])
+                  for s in range(1, nsrc)]
+        return result(profs[:, 0], hits[:, 0], self.predictors[0],
+                      extras=extras)
 
 
 def load_to_fold(path: str, config: FoldConfig, **run_kw) -> FoldResult:

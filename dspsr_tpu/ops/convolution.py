@@ -141,12 +141,19 @@ def frame_sc(x: SC, nsamp_fft: int, nsamp_step: int, npart: int) -> SC:
 
 
 def _forward_spectra(x: Union[jnp.ndarray, SC], plan: OverlapSavePlan,
-                     npart: int) -> SC:
-    """Frame + forward FFT -> split-complex spectra [..., npart, n_fft]."""
+                     npart: int, apodization=None) -> SC:
+    """Frame + forward FFT -> split-complex spectra [..., npart, n_fft].
+
+    ``apodization``: optional float32[nsamp_fft] taper applied to each
+    window before the forward FFT (reference Convolution.C:379-387)."""
     if plan.real_input:
         w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        if apodization is not None:
+            w = w * apodization
         return rfft_sc(w, plan.nsamp_fft)
     w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
+    if apodization is not None:
+        w = (w[0] * apodization, w[1] * apodization)
     return fft_sc(w, plan.n_fft)
 
 
@@ -156,6 +163,7 @@ def overlap_save_convolve(
     response_fft_order: SC,
     plan: OverlapSavePlan,
     npart: int,
+    apodization=None,
 ) -> SC:
     """Convolve a block with a per-channel frequency response.
 
@@ -170,7 +178,7 @@ def overlap_save_convolve(
     Returns split-complex ``[nchan, npol, npart*nkeep_c]`` analytic voltages.
     """
     plan.validate()
-    spec = _forward_spectra(x, plan, npart)
+    spec = _forward_spectra(x, plan, npart, apodization)
     rr, ri = response_fft_order
     spec = sc.mul(spec, (rr[:, None, None, :], ri[:, None, None, :]))
     tr, ti = ifft_sc(spec, plan.n_fft)
@@ -187,6 +195,7 @@ def overlap_save_convolve_jones(
     response_fft_order: Tuple[SC, SC, SC, SC],
     plan: OverlapSavePlan,
     npart: int,
+    apodization=None,
 ) -> SC:
     """Matrix (Jones) convolution: full 2x2 polarization response
     (reference ``Convolution.C:425-436`` matrix_convolution path).
@@ -199,7 +208,7 @@ def overlap_save_convolve_jones(
     Returns split-complex ``[nchan, 2, npart*nkeep_c]``.
     """
     plan.validate()
-    spec = _forward_spectra(x, plan, npart)  # [nchan, 2, npart, n_fft]
+    spec = _forward_spectra(x, plan, npart, apodization)
     sr, si = spec
     p = (sr[:, 0], si[:, 0])
     q = (sr[:, 1], si[:, 1])

@@ -99,7 +99,8 @@ class FilterbankPlan:
             raise ValueError("nchan_subband must be >= 1")
 
 
-def forward_spectra_chunked(x, plan: FilterbankPlan, npart: int) -> SC:
+def forward_spectra_chunked(x, plan: FilterbankPlan, npart: int,
+                            apodization=None) -> SC:
     """Frame + forward FFT + natural-order chunking.
 
     Returns split-complex ``[nchan_out, npol, npart, freq_res]`` where output
@@ -112,10 +113,16 @@ def forward_spectra_chunked(x, plan: FilterbankPlan, npart: int) -> SC:
     if plan.real_input:
         nchan_in, npol = x.shape[0], x.shape[1]
         w = frame(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        if apodization is not None:
+            # taper each window before the forward FFT (reference applies
+            # Apodization inside Convolution, Convolution.C:379-387)
+            w = w * apodization
         spec = rfft_sc(w, plan.nsamp_fft)  # natural order already
     else:
         nchan_in, npol = x[0].shape[0], x[0].shape[1]
         w = frame_sc(x, plan.nsamp_fft, plan.nsamp_step, npart)
+        if apodization is not None:
+            w = (w[0] * apodization, w[1] * apodization)
         spec = fftshift_sc(fft_sc(w, plan.n_fft))  # DC-centred -> natural
 
     def chunk(a):
@@ -191,6 +198,7 @@ def filterbank_block(
     npart: int,
     response_natural: Optional[SC] = None,
     rfi_zap: Optional[tuple] = None,
+    apodization=None,
 ) -> SC:
     """Channelize a block (optionally convolving a response).
 
@@ -207,7 +215,7 @@ def filterbank_block(
     Returns split-complex ``[nchan_in*nchan_subband, npol, npart*nkeep]`` in
     natural channel order.
     """
-    spec = forward_spectra_chunked(x, plan, npart)
+    spec = forward_spectra_chunked(x, plan, npart, apodization)
     spec = apply_response_chunked(spec, response_natural, rfi_zap,
                                   nchan_sub_present=plan.nchan_subband)
     return invert_subbands(spec, plan)

@@ -90,3 +90,32 @@ class TestCbird:
         chans = [int(l.split()[0]) for l in out]
         assert 100 in chans and 200 in chans
         assert len(chans) <= 6  # no mass false positives
+
+
+class TestDspsrCliOptions:
+    def test_set_name_archive_options(self, tmp_path):
+        """--set / -N / -a / -e reach the pipeline (reference --set via
+        TextInterface + ObservationChange; -a archive class)."""
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+        from dspsr_tpu.io.fits import read_fits_headers
+
+        rng = np.random.default_rng(0)
+        raw = str(tmp_path / "cli.raw")
+        with open(raw, "wb") as f:
+            f.write(rng.integers(0, 256, 1 << 16).astype(np.uint8).tobytes())
+        out = str(tmp_path / "cli.ar")
+        rc = main([raw, "--header", "FREQ=1400", "BW=-2", "NCHAN=1",
+                   "NPOL=2", "NDIM=1", "NBIT=8", "TSAMP=1.0",
+                   "UTC_START=2010-04-13-02:05:45",
+                   "-c", "0.005", "-D", "3", "-F", "4", "-b", "32",
+                   "-N", "J0000+0000", "--set", "telescope=GBT",
+                   "-a", "psrfits", "-O", out, "-q",
+                   "--fft-window", "hanning", "--pulsar", "0.007"])
+        assert rc == 0
+        hdus = read_fits_headers(out)
+        prim = hdus[0]
+        assert "J0000+0000" in prim.get("SRC_NAME", "")
+        assert "GBT" in prim.get("TELESCOP", "")
+        import os
+        assert os.path.exists(out.replace(".ar", "_src1.ar"))

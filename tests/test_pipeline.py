@@ -341,3 +341,134 @@ class TestSubintEpochs:
         want = np.array([e - res.obs.start_time for e in res.epochs]) \
             + np.asarray(res.integration_length) / 2.0
         np.testing.assert_allclose(offs, want, atol=1e-9)
+
+
+class TestMultiPulsar:
+    def test_two_pulsars_one_pass(self, tmp_path):
+        """Fold two periods in one pass; each profile matches its
+        single-pulsar run (LoadToFold1.C:1155-1242 multi-fold)."""
+        p2 = PERIOD * 1.37
+        path = synth_pulsar_dada(str(tmp_path / "mp.dada"), nsec=0.3)
+        base = dict(dispersion_measure=DM, nchan=4, block_parts=2,
+                    min_block_samples=0, nbin=32)
+        cfg_multi = FoldConfig(folding_period=PERIOD,
+                               additional_pulsars=(p2,), **base)
+        res = load_to_fold(path, cfg_multi)
+        assert res.extra_sources and len(res.extra_sources) == 1
+        r2 = res.extra_sources[0]
+        assert abs(r2.folding_period - p2) < 1e-12
+
+        a = load_to_fold(path, FoldConfig(folding_period=PERIOD, **base))
+        b = load_to_fold(path, FoldConfig(folding_period=p2, **base))
+        np.testing.assert_allclose(res.profiles, a.profiles, rtol=1e-6)
+        np.testing.assert_allclose(r2.profiles, b.profiles, rtol=1e-6)
+        np.testing.assert_allclose(res.hits, a.hits, atol=1e-3)
+        np.testing.assert_allclose(r2.hits, b.hits, atol=1e-3)
+        # the real pulsar only shows up in its own fold
+        snr_a = res.normalized()[0, :, 0, :].max() / res.normalized()[0, :, 0, :].mean()
+        assert snr_a > 1.1
+
+
+class TestCalFolding:
+    def test_cal_mode_recovers_square_wave(self, tmp_path):
+        """MODE=CAL + CALFREQ: fold at the cal square-wave frequency with no
+        ephemeris (Fold.C:190-227 CAL branch)."""
+        from dspsr_tpu.io.dada import format_ascii_header, header_from_observation
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.observation import Observation, Signal
+
+        rng = np.random.default_rng(8)
+        rate = 1e6
+        calfreq = 11.123  # Hz
+        nsamp = 1 << 18
+        t = np.arange(nsamp) / rate
+        on = ((t * calfreq) % 1.0) < 0.5
+        amp = np.where(on, 3.0, 1.0)
+        x = rng.standard_normal((nsamp, 2, 2)) * amp[:, None, None] * 8
+        q = np.clip(np.round(x + 127.5), 0, 255).astype(np.uint8)
+        obs = Observation(nchan=1, npol=2, ndim=2, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-1.0, rate=rate,
+                          start_time=MJD(55000, 0.3), state=Signal.ANALYTIC,
+                          source="CAL_SRC", telescope="PKS", instrument="T",
+                          mode="CAL", calfreq=calfreq)
+        path = str(tmp_path / "cal.dada")
+        with open(path, "wb") as f:
+            f.write(format_ascii_header(header_from_observation(obs)))
+            f.write(q.tobytes())
+
+        cfg = FoldConfig(nchan=4, nbin=32, block_parts=2,
+                         min_block_samples=0, dispersion_measure=0.0,
+                         coherent=False)
+        res = load_to_fold(path, cfg)
+        assert abs(res.folding_period - 1.0 / calfreq) < 1e-12
+        prof = res.normalized()[0].sum(axis=0)[0]  # [nbin]
+        nbin = prof.shape[0]
+        hi = np.sort(prof)[-nbin // 3:].mean()
+        lo = np.sort(prof)[: nbin // 3].mean()
+        # square wave: on-power / off-power ~ 9
+        assert hi / lo > 4, (hi, lo)
+        # ~half the bins are high
+        mid = 0.5 * (hi + lo)
+        frac_on = (prof > mid).mean()
+        assert 0.3 < frac_on < 0.7
+
+
+class TestApodizationAndPassband:
+    def test_fft_window_applied_and_pulse_recovered(self, pulsar_file):
+        base = dict(folding_period=PERIOD, dispersion_measure=DM, nchan=4,
+                    block_parts=2, min_block_samples=0, nbin=32)
+        plain = load_to_fold(pulsar_file, FoldConfig(**base))
+        win = load_to_fold(pulsar_file, FoldConfig(fft_window="hanning",
+                                                   **base))
+        # window changes the numbers but not the detection of the pulse
+        assert not np.allclose(plain.profiles, win.profiles)
+        for res in (plain, win):
+            prof = res.normalized()[0, :, 0, :]
+            snr = (prof.max(axis=1) - prof.mean(axis=1)) / prof.std(axis=1)
+            assert (snr > 1.5).all()
+
+    def test_passband_integrates(self, pulsar_file):
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, min_block_samples=0,
+                         nbin=32, passband=True)
+        res = load_to_fold(pulsar_file, cfg)
+        assert res.passband is not None
+        nchan, npol, nres = res.passband.shape
+        assert nchan == 4 and npol == 2
+        assert (res.passband > 0).all()
+        # white-ish noise: per-channel band power within a factor of a few
+        per_chan = res.passband.sum(axis=(1, 2))
+        assert per_chan.max() / per_chan.min() < 5
+
+    def test_archive_extensions_polyco_param_bandpass(self, tmp_path):
+        """Archive carries POLYCO, PSRPARAM and BANDPASS extensions
+        (Archiver.C / ArchiverExtensions.C roles)."""
+        from dspsr_tpu.io.psrfits import save_psrfits_fold
+        from dspsr_tpu.io.fits import read_fits_headers
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.io.sources import RawFileSource
+
+        rng = np.random.default_rng(2)
+        obs = Observation(nchan=1, npol=2, ndim=1, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-2.0, rate=1e6,
+                          start_time=MJD.from_utc("2010-04-13-02:05:45"),
+                          state=Signal.NYQUIST, source="J0835-4510",
+                          telescope="PKS", instrument="RAW")
+        p = str(tmp_path / "vela.raw")
+        with open(p, "wb") as f:
+            f.write(rng.integers(0, 256, 1 << 17).astype(np.uint8).tobytes())
+        cfg = FoldConfig(polyco_path="/root/reference/Benchmark/vela.polyco",
+                         ephemeris_path="/root/reference/Benchmark/vela.par",
+                         dispersion_measure=67.99, nchan=4, nbin=32,
+                         block_parts=2, min_block_samples=0, passband=True,
+                         use_megakernel=False)
+        res = FoldPipeline(RawFileSource(p, obs), cfg).run()
+        ar = str(tmp_path / "vela.ar")
+        save_psrfits_fold(ar, res)
+        hdus = read_fits_headers(ar)
+        names = [h.get("EXTNAME", "").strip("' ") for h in hdus]
+        for want in ("POLYCO", "PSRPARAM", "BANDPASS", "SUBINT", "HISTORY"):
+            assert want in names, (want, names)
+        pc = hdus[names.index("POLYCO")]
+        assert int(pc["NAXIS2"]) >= 1
