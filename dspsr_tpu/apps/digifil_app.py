@@ -30,10 +30,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4])
     p.add_argument("-b", "--nbits", type=int, default=8,
                    choices=[1, 2, 4, 8, 32], help="output bits per sample")
+    p.add_argument("-I", "--rescale-interval", type=float, default=0.0,
+                   metavar="SEC",
+                   help="seconds between rescale updates (0 = every block; "
+                        "reference -I)")
+    p.add_argument("-P", "--poln-select", type=int, default=None,
+                   metavar="POL", help="keep only this input polarization "
+                   "(reference PolnSelect)")
+    p.add_argument("-K", "--interchannel-align", action="store_true",
+                   help="remove inter-channel dispersion delays "
+                        "(SampleDelay)")
+    p.add_argument("--no-weights", action="store_true",
+                   help="do not zero excision-flagged stretches")
+    p.add_argument("--fits", action="store_true",
+                   help="write search-mode PSRFITS instead of SIGPROC "
+                        "(digifits)")
+    p.add_argument("--threads", type=int, default=1, metavar="N",
+                   help="shard time blocks over N devices "
+                        "(reference digifil -t threads / LoadToFilN)")
     p.add_argument("-c", "--constant-levels", action="store_true",
                    help="freeze offset/scale after first block (digifil -c)")
     p.add_argument("-T", "--total", type=float, default=None)
     p.add_argument("--block-parts", type=int, default=4)
+    p.add_argument("--block-samples", type=int, default=None,
+                   help="input samples per device block (per shard when "
+                        "--threads > 1); determines rescale bootstrap "
+                        "granularity")
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -54,16 +76,35 @@ def main(argv=None) -> int:
         npol_out=args.npol,
         nbits=args.nbits,
         rescale_constant=args.constant_levels,
+        rescale_seconds=args.rescale_interval,
+        poln_select=args.poln_select,
+        interchannel_align=args.interchannel_align,
+        apply_weights=not args.no_weights,
         block_parts=args.block_parts,
+        **({"min_block_samples": args.block_samples}
+           if args.block_samples is not None else {}),
     )
     src = (open_source(args.files[0]) if len(args.files) == 1
            else MultiFile(args.files))
+    fmt = "psrfits" if args.fits else "sigproc"
+    if args.threads > 1:
+        from ..parallel.sharded import make_mesh
+        from ..parallel.search import ShardedFilPipeline
+
+        sh = ShardedFilPipeline(src, cfg, make_mesh(args.threads, 1))
+        if not args.quiet:
+            o = sh.inner.obs_out
+            print(f"digifil-tpu: {args.threads} shards -> {args.output} "
+                  f"nchan {o.nchan} npol {o.npol} nbit {o.nbit}",
+                  file=sys.stderr)
+        sh.run(args.output, format=fmt)
+        return 0
     pipe = FilPipeline(src, cfg)
     if not args.quiet:
         o = pipe.obs_out
         print(f"digifil-tpu: -> {args.output} nchan {o.nchan} npol {o.npol} "
               f"nbit {o.nbit} tsamp {1e6/o.rate:.3f} us", file=sys.stderr)
-    pipe.run(args.output, total_seconds=args.total)
+    pipe.run(args.output, total_seconds=args.total, format=fmt)
     return 0
 
 

@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     # engine
     p.add_argument("--block-parts", type=int, default=4,
                    help="FFT windows per device block")
+    p.add_argument("-t", "--threads", type=int, default=1, metavar="N",
+                   help="shard time blocks over N devices (LoadToFoldN; "
+                        "pair with --chan-shards for channel parallelism)")
+    p.add_argument("--chan-shards", type=int, default=1,
+                   help="channel-parallel mesh axis size (MPITrans role)")
     p.add_argument("-O", "--output", default=None,
                    help="output archive filename (default: <source>_<MJD>.npz)")
     p.add_argument("--repeat", type=int, nargs="?", const=0, default=None,
@@ -191,6 +196,21 @@ def main(argv=None) -> int:
     if args.plfb_bin:
         return _run_plfb(args, src)
 
+    if args.threads * args.chan_shards > 1:
+        from ..parallel.sharded import make_mesh
+        from ..parallel.pipeline import ShardedFoldPipeline
+
+        mesh = make_mesh(args.threads * args.chan_shards, args.chan_shards)
+        pipe = ShardedFoldPipeline(src, cfg, mesh)
+        if not args.quiet:
+            print(f"dspsr-tpu: mesh ({args.threads} time x "
+                  f"{args.chan_shards} chan)", file=sys.stderr)
+        res = pipe.run()
+        out = args.output or filename_epoch(res)
+        save_archive(out, res)
+        if not args.quiet:
+            print(f"dspsr-tpu: wrote {out}", file=sys.stderr)
+        return 0
     pipe = FoldPipeline(src, cfg)
     if not args.quiet:
         print(f"dspsr-tpu: folding {pipe.nbin} bins, period {pipe.folding_period*1e3:.6f} ms, "

@@ -20,7 +20,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..observation import Observation
+from ..observation import Observation, Signal
 from .dada import read_dada_header, observation_from_header
 
 _REGISTRY: List[type] = []
@@ -216,6 +216,107 @@ class RawFileSource(Source):
             buf = f.read(navail * bps)
         out[: len(buf)] = np.frombuffer(buf, np.uint8)
         return out
+
+
+class BlockFileSource(Source):
+    """Data framed in fixed-size blocks with per-block headers/trailers
+    (generic ``dsp::BlockFile``, ``Kernel/Classes/BlockFile.C``): only the
+    payload bytes between each block's header and trailer are data.
+
+    GUPPI RAW is the specialized variant (io/guppi.py); this generic form
+    serves any fixed-framing capture format.
+    """
+
+    def __init__(self, path: str, obs: Observation, block_bytes: int,
+                 block_header_bytes: int = 0, block_trailer_bytes: int = 0,
+                 file_header_bytes: int = 0):
+        self.path = path
+        self.obs = obs
+        self.block_bytes = block_bytes
+        self.bh = block_header_bytes
+        self.bt = block_trailer_bytes
+        self.fh = file_header_bytes
+        self.payload = block_bytes - block_header_bytes - block_trailer_bytes
+        if self.payload <= 0:
+            raise ValueError("block smaller than its header+trailer")
+        bps = self.bytes_per_sample_exact()
+        nbytes = os.path.getsize(path) - file_header_bytes
+        nblocks = nbytes // block_bytes
+        tail = nbytes - nblocks * block_bytes
+        tail_payload = max(tail - block_header_bytes, 0) if tail > self.bh \
+            else 0
+        self._total = (nblocks * self.payload + tail_payload) // bps
+        self.obs = obs.replace(ndat=self._total)
+
+    @staticmethod
+    def is_valid(path) -> bool:
+        return False  # explicit construction only
+
+    @property
+    def total_samples(self) -> int:
+        return self._total
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        bps = self.bytes_per_sample_exact()
+        a = start * bps
+        need = nsamp * bps
+        out = np.zeros(need, np.uint8)
+        got = 0
+        blk = a // self.payload
+        off = a % self.payload
+        with open(self.path, "rb") as f:
+            while got < need:
+                f.seek(self.fh + blk * self.block_bytes + self.bh + off)
+                chunk = f.read(min(self.payload - off, need - got))
+                if not chunk:
+                    break
+                out[got : got + len(chunk)] = np.frombuffer(chunk, np.uint8)
+                got += len(chunk)
+                blk += 1
+                off = 0
+        return out
+
+
+def observation_from_presto_inf(path: str) -> Observation:
+    """PRESTO ``.inf`` metadata reader (reference ``PrestoObservation`` /
+    ``infodata.h``): key descriptions before '=' map onto Observation."""
+    from .dada import observation_from_header
+    from ..timing.mjd import MJD
+
+    kv = {}
+    with open(path) as f:
+        for line in f:
+            if "=" not in line:
+                continue
+            desc, _, val = line.partition("=")
+            kv[desc.strip().lower()] = val.strip()
+
+    def find(*needles, default=None):
+        for k, v in kv.items():
+            if all(n in k for n in needles):
+                return v
+        return default
+
+    nchan = int(find("number of channels", default="1"))
+    tsamp = float(find("width of each time series bin", default="1e-6"))
+    fbot = float(find("central freq of low channel", default="1400"))
+    chan_bw = float(find("channel bandwidth", default="1"))
+    mjd = float(find("epoch of observation", default="55000"))
+    obs = Observation(
+        nchan=nchan, npol=1, ndim=1,
+        nbit=int(find("bits per sample", default="8") or 8),
+        centre_frequency=fbot + 0.5 * chan_bw * (nchan - 1),
+        bandwidth=chan_bw * nchan,
+        rate=1.0 / tsamp,
+        start_time=MJD(int(mjd), (mjd - int(mjd)) * 86400.0),
+        state=Signal.INTENSITY,
+        source=find("object being observed", default="") or "",
+        telescope=find("telescope used", default="") or "",
+        instrument=find("instrument used", default="") or "",
+        dispersion_measure=float(find("dispersion measure", default="0")
+                                 or 0.0),
+    )
+    return obs
 
 
 def observation_from_keyvals(pairs) -> Observation:

@@ -80,3 +80,29 @@ def update_observation_fzoom(obs: Observation, chan_lo: int, nkeep: int) -> Obse
         centre_frequency=0.5 * (f_lo + f_hi),
         bandwidth=obs.chan_bandwidth * nkeep,
     )
+
+
+def poln_reshape(x, from_state, to_state):
+    """Reshape/convert detected polarization products between layouts
+    (reference ``dsp::PolnReshape``, ``Signal/General/PolnReshape.C``):
+    Coherence (AA,BB,Re,Im) <-> Stokes (I,Q,U,V), or either -> Intensity.
+
+    x: float32[nchan, 4, ndat] (or [nchan, >=2, ndat] for -> Intensity).
+    """
+    import jax.numpy as jnp
+
+    from ..observation import Signal
+
+    if from_state == to_state:
+        return x
+    if to_state == Signal.INTENSITY:
+        if from_state == Signal.STOKES:
+            return x[:, 0:1]
+        return x[:, 0:1] + x[:, 1:2]  # AA+BB (Coherence or PPQQ)
+    if from_state == Signal.COHERENCE and to_state == Signal.STOKES:
+        aa, bb, re, im = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+        return jnp.stack([aa + bb, aa - bb, 2 * re, 2 * im], axis=1)
+    if from_state == Signal.STOKES and to_state == Signal.COHERENCE:
+        i, q, u, v = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+        return jnp.stack([(i + q) / 2, (i - q) / 2, u / 2, v / 2], axis=1)
+    raise ValueError(f"unsupported reshape {from_state} -> {to_state}")

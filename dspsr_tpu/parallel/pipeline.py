@@ -70,6 +70,12 @@ class ShardedFoldPipeline:
         # megakernel off (the sharded step runs the general op chain) and no
         # per-block host taps
         cfg = dataclasses.replace(config, use_megakernel=False)
+        # cap the per-shard block so at least one superblock fits the source
+        avail = source.total_samples
+        if avail < (1 << 60):
+            cap = max(avail // (self.n_time + 1), 4096)
+            cfg = dataclasses.replace(
+                cfg, min_block_samples=min(cfg.min_block_samples, cap))
         if cfg.dump_path:
             raise NotImplementedError("dump tap not supported sharded")
         self.inner = FoldPipeline(source, cfg)

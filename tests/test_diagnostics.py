@@ -119,3 +119,47 @@ class TestDspsrCliOptions:
         assert "GBT" in prim.get("TELESCOP", "")
         import os
         assert os.path.exists(out.replace(".ar", "_src1.ar"))
+
+
+class TestThreadedClis:
+    def test_dspsr_threads_option(self, tmp_path):
+        """dspsr -t N runs the sharded pipeline end-to-end."""
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        rng = np.random.default_rng(1)
+        raw = str(tmp_path / "t.raw")
+        with open(raw, "wb") as f:
+            f.write(rng.integers(0, 256, 1 << 18).astype(np.uint8).tobytes())
+        out = str(tmp_path / "t.npz")
+        rc = main([raw, "--header", "FREQ=1400", "BW=-2", "NCHAN=1",
+                   "NPOL=2", "NDIM=1", "NBIT=8", "TSAMP=1.0",
+                   "UTC_START=2010-04-13-02:05:45",
+                   "-c", "0.005", "-D", "3", "-F", "4", "-b", "32",
+                   "-t", "4", "--chan-shards", "2", "-O", out, "-q"])
+        assert rc == 0
+        d = np.load(out, allow_pickle=True)
+        assert d["profiles"].shape[-1] == 32
+
+    def test_digifil_threads_option(self, tmp_path):
+        import numpy as np
+        from dspsr_tpu.apps.digifil_app import main
+        from dspsr_tpu.io.dada import format_ascii_header, header_from_observation
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+
+        rng = np.random.default_rng(1)
+        obs = Observation(nchan=1, npol=2, ndim=1, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-2.0, rate=1e6,
+                          start_time=MJD(55000, 0.2), state=Signal.NYQUIST,
+                          source="X", telescope="PKS", instrument="T")
+        p = str(tmp_path / "t.dada")
+        with open(p, "wb") as f:
+            f.write(format_ascii_header(header_from_observation(obs)))
+            f.write(rng.integers(0, 256, 1 << 19).astype(np.uint8).tobytes())
+        out = str(tmp_path / "t.fil")
+        rc = main([p, "-o", out, "-F", "4", "-D", "2", "-b", "8",
+                   "--threads", "4", "-c", "-q"])
+        assert rc == 0
+        import os
+        assert os.path.getsize(out) > 1000

@@ -194,3 +194,76 @@ class TestMultiplex:
         src = open_source(lst)
         assert isinstance(src, Multiplex)
         assert src.total_samples == 2 * P
+
+
+class TestBlockFileAndPresto:
+    def test_blockfile_skips_per_block_headers(self, tmp_path):
+        """Generic BlockFile: payload reassembled across framed blocks
+        (Kernel/Classes/BlockFile.C)."""
+        from dspsr_tpu.io.sources import BlockFileSource
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+
+        rng = np.random.default_rng(0)
+        payload = rng.integers(0, 256, 1000).astype(np.uint8)
+        bh, bt, pl = 16, 8, 100
+        p = str(tmp_path / "blk.dat")
+        with open(p, "wb") as f:
+            for i in range(0, 1000, pl):
+                f.write(b"H" * bh)
+                f.write(payload[i:i + pl].tobytes())
+                f.write(b"T" * bt)
+        obs = Observation(nchan=1, npol=1, ndim=1, nbit=8,
+                          centre_frequency=1400.0, bandwidth=1.0, rate=1e6,
+                          start_time=MJD(55000, 0.0),
+                          state=Signal.NYQUIST)
+        src = BlockFileSource(p, obs, block_bytes=bh + pl + bt,
+                              block_header_bytes=bh, block_trailer_bytes=bt)
+        assert src.total_samples == 1000
+        np.testing.assert_array_equal(src.read_samples(0, 1000), payload)
+        # unaligned read crossing block boundaries
+        np.testing.assert_array_equal(src.read_samples(37, 250),
+                                      payload[37:287])
+
+    def test_presto_inf(self, tmp_path):
+        from dspsr_tpu.io.sources import observation_from_presto_inf
+
+        p = str(tmp_path / "x.inf")
+        with open(p, "w") as f:
+            f.write(""" Data file name without suffix          =  fake
+ Telescope used                         =  Parkes
+ Instrument used                        =  Multibeam
+ Object being observed                  =  J0835-4510
+ Epoch of observation (MJD)             =  55299.08731
+ Number of bins in the time series      =  1000
+ Width of each time series bin (sec)    =  6.4e-05
+ Dispersion measure (cm-3 pc)           =  67.99
+ Central freq of low channel (MHz)      =  1182.0
+ Total bandwidth (MHz)                  =  400
+ Number of channels                     =  128
+ Channel bandwidth (MHz)                =  3.125
+""")
+        obs = observation_from_presto_inf(p)
+        assert obs.nchan == 128
+        assert obs.telescope == "Parkes"
+        assert abs(obs.rate - 1 / 6.4e-05) < 1e-6
+        assert abs(obs.dispersion_measure - 67.99) < 1e-9
+        assert abs(obs.centre_frequency - (1182.0 + 0.5 * 3.125 * 127)) < 1e-6
+
+
+class TestPolnReshape:
+    def test_coherence_stokes_roundtrip(self):
+        import jax.numpy as jnp
+        from dspsr_tpu.ops.scrunch import poln_reshape
+        from dspsr_tpu.observation import Signal
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((3, 4, 8)).astype(np.float32))
+        s = poln_reshape(x, Signal.COHERENCE, Signal.STOKES)
+        back = poln_reshape(s, Signal.STOKES, Signal.COHERENCE)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=1e-6, atol=1e-6)
+        i = poln_reshape(x, Signal.COHERENCE, Signal.INTENSITY)
+        np.testing.assert_allclose(np.asarray(i)[:, 0],
+                                   np.asarray(x)[:, 0] + np.asarray(x)[:, 1],
+                                   rtol=1e-6)

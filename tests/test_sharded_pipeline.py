@@ -168,3 +168,62 @@ def test_host_stripe_layout_disjoint(tmp_path):
     starts = [s for s, _ in stripes]
     assert starts[1:] == ends[:-1]  # contiguous, disjoint
     assert tail[0] == ends[-1]
+
+
+class TestShardedSearch:
+    """LoadToFilN/OutputFileShare equivalent: time-sharded digifil output
+    must be byte-identical to the single pipeline (constant rescale)."""
+
+    def _file(self, tmp_path, obs, nbytes, name="sf.raw"):
+        return _write(tmp_path, name, nbytes)
+
+    def test_sharded_digifil_bytes_match_single(self, tmp_path):
+        from dspsr_tpu.models.load_to_fil import FilConfig, FilPipeline
+        from dspsr_tpu.parallel.search import ShardedFilPipeline
+
+        obs = _obs()
+        cfg = FilConfig(nchan=4, nbits=8, dispersion_measure=2.0,
+                        min_block_samples=0, block_parts=2,
+                        rescale_constant=True)
+        probe = ShardedFilPipeline(
+            RawFileSource(_write(tmp_path, "sf.raw", 1 << 22), obs), cfg,
+            make_mesh(4, 1))
+        total = 2 * probe.superblock_stride + probe.nsamp_overlap
+        path = _write(tmp_path, "sf.raw",
+                      int(round(total * obs.nbytes_per_sample)))
+
+        sh = ShardedFilPipeline(RawFileSource(path, obs), cfg,
+                                make_mesh(4, 1))
+        out_n = str(tmp_path / "n.fil")
+        sh.run(out_n)
+
+        single = FilPipeline(RawFileSource(path, obs), cfg)
+        out_1 = str(tmp_path / "one.fil")
+        single.run(out_1)
+
+        a = open(out_n, "rb").read()
+        b = open(out_1, "rb").read()
+        # the single pipeline may process a trailing ragged block the
+        # superblock grid drops; the sharded output must be a prefix
+        n = min(len(a), len(b))
+        assert n > 1000
+        assert a[:n] == b[:n]
+
+    def test_sharded_digifits(self, tmp_path):
+        from dspsr_tpu.models.load_to_fil import FilConfig
+        from dspsr_tpu.parallel.search import ShardedFilPipeline
+        from dspsr_tpu.io.cfitsio import available, CfitsioFile
+
+        obs = _obs()
+        cfg = FilConfig(nchan=4, nbits=8, dispersion_measure=2.0,
+                        min_block_samples=0, block_parts=2,
+                        rescale_constant=True)
+        path = _write(tmp_path, "sfit.raw", 1 << 21)
+        sh = ShardedFilPipeline(RawFileSource(path, obs), cfg,
+                                make_mesh(4, 1))
+        out = str(tmp_path / "n.sf")
+        sh.run(out, format="psrfits")
+        if available():
+            with CfitsioFile(out) as f:
+                f.move_to("SUBINT")
+                assert f.num_rows() > 0
