@@ -66,10 +66,11 @@ class ShardedFoldPipeline:
         self.mesh = mesh
         self.n_time = mesh.shape["time"]
         self.n_chan = mesh.shape["chan"]
-        # the inner single-shard pipeline: identical construction, with the
-        # megakernel off (the sharded step runs the general op chain) and no
-        # per-block host taps
-        cfg = dataclasses.replace(config, use_megakernel=False)
+        # the inner single-shard pipeline: identical construction.  When
+        # the Pallas megakernel is eligible and there is no channel
+        # sharding, each time shard runs the fused kernel (the flagship
+        # multi-chip configuration); otherwise the general op chain runs.
+        cfg = dataclasses.replace(config)
         # cap the per-shard block so at least one superblock fits the source
         avail = source.total_samples
         if avail < (1 << 60):
@@ -78,7 +79,12 @@ class ShardedFoldPipeline:
                 cfg, min_block_samples=min(cfg.min_block_samples, cap))
         if cfg.dump_path:
             raise NotImplementedError("dump tap not supported sharded")
+        if self.n_chan > 1:
+            cfg = dataclasses.replace(cfg, use_megakernel=False)
         self.inner = FoldPipeline(source, cfg)
+        if self.inner.mega_plan is not None and self.n_chan > 1:
+            raise AssertionError("mega plan engaged despite chan sharding")
+        self.mega = self.inner.mega_plan is not None
         self.config = cfg
         self.source = source
 
@@ -106,8 +112,13 @@ class ShardedFoldPipeline:
 
         self._step = self._build_step()
         nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
-        self._profiles = jnp.zeros((nchan, npol, inner.nbin), jnp.float32)
-        self._hits = jnp.zeros((nchan, inner.nbin), jnp.float32)
+        if self.mega:
+            self._profiles = jnp.zeros(
+                (inner.mega_plan.npol_out, nchan, inner.nbin), jnp.float32)
+            self._hits = jnp.zeros((1, inner.nbin), jnp.float32)
+        else:
+            self._profiles = jnp.zeros((nchan, npol, inner.nbin), jnp.float32)
+            self._hits = jnp.zeros((nchan, inner.nbin), jnp.float32)
         self._subints = []
         self._current_div = 0
         self._div_samples = 0.0
@@ -135,10 +146,17 @@ class ShardedFoldPipeline:
                 ti = jax.lax.axis_index("time")
                 halo = jnp.where(ti == n_time - 1, tail, from_right)
                 raw = jnp.concatenate([raw, halo])
-            ci = jax.lax.axis_index("chan")
-            dprof, dhits = inner._step_core(
-                jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
-                phi0, dphi, chan_ix=ci, n_chan_shards=n_chan)
+            if self.mega:
+                # each time shard runs the fused Pallas megakernel on its
+                # stripe; accumulators reduce exactly like the op chain
+                dprof, dhits = inner._megastep(
+                    jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
+                    phi0, dphi)
+            else:
+                ci = jax.lax.axis_index("chan")
+                dprof, dhits = inner._step_core(
+                    jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
+                    phi0, dphi, chan_ix=ci, n_chan_shards=n_chan)
             # PhaseSeries::combine across the time shards
             dprof = jax.lax.psum(dprof, "time")
             dhits = jax.lax.psum(dhits, "time")
@@ -191,6 +209,10 @@ class ShardedFoldPipeline:
             return
         prof = np.asarray(self._profiles)
         hits = np.asarray(self._hits)
+        if self.mega:
+            prof = np.ascontiguousarray(prof.transpose(1, 0, 2))
+            hits = np.broadcast_to(
+                hits, (self.inner.obs_out.nchan, self.inner.nbin)).copy()
         self._subints.append(
             (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.inner.obs_out.rate))
