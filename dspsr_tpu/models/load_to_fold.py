@@ -520,11 +520,17 @@ class FoldPipeline:
 
             mp = MegaPlan.from_filterbank(
                 self.fb_plan, self.nbin, obs.npol, cfg.npol_out, obs.nbit)
+            if mp is not None and mp.row_len < 128 \
+                    and jax.default_backend() != "cpu":
+                # Mosaic DMA slices need 128-lane-aligned rows; tiny
+                # geometries stay on the XLA path (CPU interpret mode has
+                # no such constraint)
+                mp = None
             if mp is not None:
                 self.mega_plan = mp
                 # adopt the rounded overlap so all block geometry agrees
                 self.fb_plan = FilterbankPlan(
-                    real_input=True,
+                    real_input=mp.real_input,
                     nchan_subband=mp.nsub,
                     freq_res=mp.freq_res,
                     nfilt_pos=mp.nfilt_pos,
@@ -603,7 +609,7 @@ class FoldPipeline:
             and "DSPSR_TPU_NO_MEGA" not in os.environ
             and self.fb_plan is not None
             and obs.nchan == 1
-            and obs.state == Signal.NYQUIST
+            and obs.state in (Signal.NYQUIST, Signal.ANALYTIC)
             and obs.nbit == 8
             and not cfg.twos_complement
             and self.unpack_plan.twobit is None

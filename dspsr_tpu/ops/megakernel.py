@@ -13,10 +13,15 @@ scatter is a chunked one-hot contraction.
 
 Mathematical structure (per window, per polarization):
 
-1. **Real-input forward FFT** of ``nsamp_fft = 2N`` samples, computed as a
-   direct two-stage factorization (no even/odd packing, no spectrum
-   untangling).  With the window viewed as ``W[n1, m]``, ``n = n1*(2*R2) + m``
-   and output bin ``k = k2*R1 + k1`` (N = R1*R2)::
+1. **Forward FFT** of the window, computed as a direct two-stage
+   factorization.  Real (Nyquist) input of ``nsamp_fft = 2N`` samples needs
+   no even/odd packing or spectrum untangling; complex (analytic) input of
+   ``N`` samples uses the same structure with ``mult = 1`` and its
+   ``fftshift`` folded into the chirp permutation and the block-diagonal
+   inverse-DFT column arrangement (so GUPPI/VDIF-class baseband takes the
+   same fast path).  With the window viewed as ``W[n1, m]``,
+   ``n = n1*(mult*R2) + m`` and output bin ``k = k2*R1 + k1`` (N = R1*R2),
+   for the real case::
 
        S[m, k1]  = sum_n1 W[n1, m] * exp(-2i pi n1 k1 / R1)     (2 matmuls)
        C[m, k1]  = S[m, k1] * exp(-2i pi m k1 / 2N)             (twiddle)
@@ -59,8 +64,6 @@ final grid step.
 
 from __future__ import annotations
 
-import functools
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -78,9 +81,10 @@ def _pow2(n: int) -> bool:
 class MegaPlan:
     """Static geometry of the fused block step.
 
-    Derived from a FilterbankPlan (real input) with the overlap rounded up so
-    every window starts on a ``2*R2``-sample boundary (pure reshape framing;
-    extra discard is always valid overlap-save).
+    Derived from a FilterbankPlan (real or complex input) with the overlap
+    rounded up so every window starts on a whole-row boundary of the
+    ``[totrows, row_len]`` input view (pure reshape framing; extra discard
+    is always valid overlap-save).
     """
 
     nsub: int          # output channels (nchan_subband; input nchan == 1)
@@ -92,6 +96,7 @@ class MegaPlan:
     npol: int          # input polarizations
     npol_out: int = 1  # 1 = Intensity, 2 = PPQQ, 4 = Stokes
     nbit: int = 8      # input bits per sample (8 or 32)
+    real_input: bool = True  # Nyquist (real) vs analytic (complex) input
 
     @property
     def n_fft(self) -> int:
@@ -114,30 +119,41 @@ class MegaPlan:
         return self.freq_res - self.nfilt_tot
 
     @property
+    def mult(self) -> int:
+        """Time samples per complex point (2 for real Nyquist input)."""
+        return 2 if self.real_input else 1
+
+    @property
     def nsamp_fft(self) -> int:
-        return 2 * self.n_fft
+        return self.mult * self.n_fft
+
+    @property
+    def row_len(self) -> int:
+        """Samples per row of the [totrows, row_len] input view."""
+        return self.mult * self.R2
 
     @property
     def nsamp_step(self) -> int:
-        return self.nsamp_fft - 2 * self.nsub * self.nfilt_tot
+        return self.nsamp_fft - self.mult * self.nsub * self.nfilt_tot
 
     @property
     def step_rows(self) -> int:
-        return self.nsamp_step // (2 * self.R2)
+        return self.nsamp_step // self.row_len
 
     def block_ndat(self, npart: int) -> int:
-        return npart * self.nsamp_step + 2 * self.nsub * self.nfilt_tot
+        return (npart * self.nsamp_step
+                + self.mult * self.nsub * self.nfilt_tot)
 
     def total_rows(self, npart: int) -> int:
-        return self.block_ndat(npart) // (2 * self.R2)
+        return self.block_ndat(npart) // self.row_len
 
     def validate(self):
         if not (_pow2(self.n_fft) and _pow2(self.R1) and _pow2(self.freq_res)):
             raise ValueError("sizes must be powers of two")
         if self.freq_res % self.R1:
             raise ValueError("freq_res must be a multiple of R1")
-        if self.nsamp_step % (2 * self.R2):
-            raise ValueError("step not a multiple of 2*R2 (round nfilt up)")
+        if self.nsamp_step % self.row_len:
+            raise ValueError("step not a multiple of row_len (round nfilt up)")
         if self.step_rows % 8:
             raise ValueError("step_rows must be 8-aligned (round nfilt to 8q)")
         if self.nkeep <= 0:
@@ -167,22 +183,21 @@ class MegaPlan:
     def from_filterbank(cls, fb_plan, nbin: int, npol: int,
                         npol_out: int = 1, nbit: int = 8) -> Optional["MegaPlan"]:
         """Build from an ops.filterbank.FilterbankPlan; None if ineligible."""
-        if not fb_plan.real_input:
-            return None
         nsub, freq_res = fb_plan.nchan_subband, fb_plan.freq_res
         r1 = cls.choose_r1(nsub * freq_res, freq_res)
         if r1 is None:
             return None
         q = freq_res // r1
         # round the tail discard up so every window starts on a whole
-        # 8-row boundary of the [totrows, 2*R2] input view (Mosaic DMA
+        # 8-row boundary of the [totrows, row_len] input view (Mosaic DMA
         # slices need sublane-aligned offsets): nfilt_tot multiple of 8q
         nfilt_tot = fb_plan.nfilt_pos + fb_plan.nfilt_neg
         rounded = -(-nfilt_tot // (8 * q)) * (8 * q)
         nfilt_neg = fb_plan.nfilt_neg + (rounded - nfilt_tot)
         plan = cls(nsub=nsub, freq_res=freq_res, R1=r1,
                    nfilt_pos=fb_plan.nfilt_pos, nfilt_neg=nfilt_neg,
-                   nbin=nbin, npol=npol, npol_out=npol_out, nbit=nbit)
+                   nbin=nbin, npol=npol, npol_out=npol_out, nbit=nbit,
+                   real_input=fb_plan.real_input)
         if plan.nkeep <= 0:
             return None
         plan.validate()
@@ -198,6 +213,7 @@ class MegaConstants:
         p = plan
         R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
         N, M = p.n_fft, p.freq_res
+        mult = p.mult
         self.dtype = dtype
         self.unpack_scale = float(unpack_scale)
         self.unpack_offset = float(unpack_offset)
@@ -210,30 +226,41 @@ class MegaConstants:
         W1 = np.exp(-2j * np.pi * np.outer(k, k) / R1)
         self.w1r, self.w1i = c(W1.real), c(W1.imag)
 
-        # twiddle exp(-2i pi m k1 / 2N): [2*R2, R1]
-        m = np.arange(2 * R2)
-        T = np.exp(-2j * np.pi * np.outer(m, k) / (2 * N))
+        # twiddle exp(-2i pi m k1 / (mult*N)): [mult*R2, R1]
+        # (real input: m runs over the 2N-sample window's coarse column;
+        #  complex input: m is n2 and the divisor is N)
+        m = np.arange(mult * R2)
+        T = np.exp(-2j * np.pi * np.outer(m, k) / (mult * N))
         self.tr, self.ti = c(T.real), c(T.imag)
 
-        # stage-2 DFT exp(-2i pi m k2 / (2*R2)): [2*R2, R2]
+        # stage-2 DFT exp(-2i pi m k2 / (mult*R2)): [mult*R2, R2]
         k2 = np.arange(R2)
-        E = np.exp(-2j * np.pi * np.outer(m, k2) / (2 * R2))
+        E = np.exp(-2j * np.pi * np.outer(m, k2) / (mult * R2))
         self.er, self.ei = c(E.real), c(E.imag)
 
-        # chirp in [k1, k2] layout (flat bin k = k2*R1 + k1)
+        # chirp in [k1, k2] layout (flat bin k = k2*R1 + k1).  For complex
+        # input the data FFT is NOT fftshifted in-kernel; the shift is folded
+        # in here: natural-order bin j lives at FFT bin (j + N/2) mod N.
         if response_natural is not None:
-            flat = np.asarray(response_natural).reshape(N)
+            flat = np.asarray(response_natural).reshape(N).astype(np.complex128)
         else:
             flat = np.ones(N, np.complex128)
+        if not p.real_input:
+            flat = np.roll(flat, -(N // 2))
         G = flat.reshape(R2, R1).T  # [k1, k2]
         self.gr, self.gi = c(G.real.copy()), c(G.imag.copy())
 
-        # inverse stage 1: block-diagonal radix-q inverse DFT [R2, R2]
+        # inverse stage 1: block-diagonal radix-q inverse DFT [R2, R2].
+        # Complex input: the fftshift permutes which k2 columns belong to
+        # which subband (js = (k2 + R2/2) mod R2), folded into the matrix.
         jq = np.arange(q)
         Wq = np.exp(+2j * np.pi * np.outer(jq, jq) / q)
         Mb = np.zeros((R2, R2), np.complex128)
-        for s in range(nsub):
-            Mb[s * q:(s + 1) * q, s * q:(s + 1) * q] = Wq
+        shift = 0 if p.real_input else R2 // 2
+        for k2i in range(R2):
+            js = (k2i + shift) % R2
+            s, qi = js // q, js % q
+            Mb[k2i, s * q:(s + 1) * q] = Wq[qi]
         self.mr, self.mi = c(Mb.real), c(Mb.imag)
 
         # inverse twiddle exp(+2i pi k1 j1 / M) tiled over subbands [R1, R2],
@@ -289,7 +316,11 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
     # unpack + deinterleave
     x = raw.astype(np.float64) * cst.unpack_scale + cst.unpack_offset
-    x = x.reshape(-1, p.npol).T  # [npol, ndat]
+    if p.real_input:
+        x = x.reshape(-1, p.npol).T  # [npol, ndat]
+    else:
+        t = x.reshape(-1, p.npol, 2)  # (t, pol, dim)
+        x = (t[:, :, 0] + 1j * t[:, :, 1]).T  # [npol, ndat] complex
     W1 = cst.w1r.astype(np.float64) + 1j * cst.w1i.astype(np.float64)
     T = cst.tr.astype(np.float64) + 1j * cst.ti.astype(np.float64)
     E = cst.er.astype(np.float64) + 1j * cst.ei.astype(np.float64)
@@ -304,9 +335,8 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
         Fpols = []
         for pol in range(p.npol):
             win = x[pol, w * p.nsamp_step: w * p.nsamp_step + p.nsamp_fft]
-            Wm = win.reshape(R1, 2 * R2)  # [n1, m]
-            S = Wm.T @ W1.conj().T.conj()  # placeholder to keep shapes clear
-            S = np.einsum("nm,nk->mk", Wm, W1)         # [2R2, R1]
+            Wm = win.reshape(R1, -1)  # [n1, m] (m = 2*R2 real, R2 complex)
+            S = np.einsum("nm,nk->mk", Wm, W1)         # [mult*R2, R1]
             C = S * T                                   # twiddle
             X = np.einsum("mk,mj->kj", C, E)            # [R1, R2]
             Y = X * G                                   # chirp
@@ -394,20 +424,40 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             prof_acc[...] = jnp.zeros_like(prof_acc)
             hits_acc[...] = jnp.zeros_like(hits_acc)
 
-        row0 = w * p.step_rows
-        for pol in range(npol):
-            copy = pltpu.make_async_copy(
-                x_ref.at[pol, pl.ds(row0, R1), :], win, dma_sem)
-            copy.start()
-            copy.wait()
-            wm = win[...].astype(f32)
+        def unpack_win(v):
+            v = v.astype(f32)
             if p.nbit == 8:
                 # window arrives as int8 (Mosaic has no u8->f32 cast);
                 # undo the two's-complement wrap to recover the byte value
-                wm = wm + jnp.where(wm < 0, f32(256), f32(0))
-                wm = wm * f32(scale) + f32(offset)
-            sr = dot00(wm, w1r[...])
-            si = dot00(wm, w1i[...])
+                v = v + jnp.where(v < 0, f32(256), f32(0))
+                v = v * f32(scale) + f32(offset)
+            return v
+
+        row0 = w * p.step_rows
+        for pol in range(npol):
+            if p.real_input:
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                wm = unpack_win(win[...])
+                # real-input stage 1: real x complex DFT (2 matmuls)
+                sr = dot00(wm, w1r[...])
+                si = dot00(wm, w1i[...])
+            else:
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                ar = unpack_win(win[...])
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 1, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                ai = unpack_win(win[...])
+                # complex-input stage 1 (4 matmuls)
+                sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
+                si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
             cr = sr * tr[...] - si * ti[...]
             ci = sr * ti[...] + si * tr[...]
             xr = dot00(cr, er[...]) - dot00(ci, ei[...])
@@ -469,7 +519,6 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             hits_out[...] = hits_in[...] + hits_acc[...]
 
     in_dtype = jnp.int8 if p.nbit == 8 else jnp.float32
-    cdt = consts["w1r"].dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(npart,),
@@ -486,7 +535,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R1, 2 * R2), in_dtype),       # window
+            pltpu.VMEM((R1, p.row_len), in_dtype),    # window plane
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((R2, R1), jnp.float32),        # pacc
             pltpu.VMEM((2 * p.npol if npol_out > 1 else 1, R2, R1),
@@ -519,7 +568,12 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         flat TFP bytes, phi0/dphi [npart]."""
         if raw.dtype == jnp.uint8:
             raw = jax.lax.bitcast_convert_type(raw, jnp.int8)
-        x = raw.reshape(-1, npol).T.reshape(npol, totrows, 2 * R2)
+        if p.real_input:
+            x = raw.reshape(-1, npol).T.reshape(npol, 1, totrows, p.row_len)
+        else:
+            # TFP (t, pol, dim) -> [npol, dim, rows, R2]
+            x = jnp.transpose(raw.reshape(-1, npol, 2), (1, 2, 0))
+            x = x.reshape(npol, 2, totrows, R2)
         out = call(phi0.reshape(npart, 1), dphi.reshape(npart, 1), x,
                    *const_vals, profiles, hits)
         return out[0], out[1]

@@ -41,7 +41,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..observation import Observation
 from ..timing.mjd import MJD
 from ..io.sources import Source
 from ..models.load_to_fold import FoldConfig, FoldPipeline, FoldResult

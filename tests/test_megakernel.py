@@ -227,3 +227,124 @@ def test_pipeline_mega_subints(tmp_path):
     assert res.profiles.shape[1:] == (4, 1, 32)
     total = res.hits.sum()
     assert total > 0
+
+
+def test_bf16_constants_close_to_f32(small_setup):
+    """DSPSR_TPU_MEGA_DTYPE=bf16 halves constant VMEM and doubles MXU rate;
+    the error must stay at the bf16 level (~1e-2), far below 8-bit
+    quantization noise."""
+    import jax.numpy as jnp2
+
+    plan, fb, raw, resp, phi0, dphi = small_setup
+    scale, offset = unpack_affine(8)
+    outs = {}
+    for dt in (np.float32, jnp2.bfloat16):
+        cst = MegaConstants(plan, resp, dtype=dt,
+                            unpack_scale=scale, unpack_offset=offset)
+        step = build_megastep(plan, cst, NPART, interpret=True)
+        p, h = step(jnp.zeros((1, NSUB, NBIN), jnp.float32),
+                    jnp.zeros((1, NBIN), jnp.float32),
+                    jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                    jnp.asarray(dphi, jnp.float32))
+        outs[np.dtype(dt).name if dt is np.float32 else "bf16"] = np.asarray(p)
+    a, b = outs["float32"], outs["bf16"]
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.05, rel
+    # and the bf16 fold still conserves flux to ~1%
+    assert abs(b.sum() / a.sum() - 1) < 0.01
+
+
+# ---- complex (analytic) input path ----
+
+@pytest.fixture(scope="module")
+def complex_setup():
+    rng = np.random.default_rng(5)
+    fb0 = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                         freq_res=FREQ_RES, nfilt_pos=5, nfilt_neg=6)
+    plan = MegaPlan.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1)
+    assert plan is not None and not plan.real_input
+    fb = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    ndat = fb.block_ndat(NPART)
+    raw = rng.integers(0, 256, size=ndat * NPOL * 2, dtype=np.uint8)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.017)
+    return plan, fb, raw, resp, phi0, dphi
+
+
+@pytest.mark.parametrize("npol_out,state", [
+    (1, Signal.INTENSITY), (4, Signal.STOKES)])
+def test_complex_reference_matches_xla_ops(complex_setup, npol_out, state):
+    import dataclasses as dc
+
+    plan0, fb, raw, resp, phi0, dphi = complex_setup
+    plan = dc.replace(plan0, npol_out=npol_out)
+    scale, offset = unpack_affine(8)
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst, phi0, dphi, NPART)
+
+    x = unpack_fixed(jnp.asarray(raw), 8, 1, NPOL, 2)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    y = filterbank_block(x, fb, NPART, (rr, ri))
+    d = np.asarray(detect(y, state))
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, npol_out, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32),
+        jnp.asarray(d),
+        jnp.ones((NSUB, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf = np.asarray(pf)
+    assert np.abs(pr - pf).max() / np.abs(pf).max() < 2e-5
+    assert np.abs(hr - np.asarray(ht)[0]).max() == 0
+
+
+def test_complex_pallas_matches_reference(complex_setup):
+    plan, fb, raw, resp, phi0, dphi = complex_setup
+    scale, offset = unpack_affine(8)
+    cst64 = MegaConstants(plan, resp, dtype=np.float64,
+                          unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+    cst = MegaConstants(plan, resp, dtype=np.float32,
+                        unpack_scale=scale, unpack_offset=offset)
+    step = build_megastep(plan, cst, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((1, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr.transpose(1, 0, 2) - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk[0]).max() == 0
+
+
+def test_pipeline_complex_mega_vs_general(tmp_path, monkeypatch):
+    """Complex (analytic) 8-bit input engages the megakernel and recovers
+    the same pulse as the general path (GUPPI/VDIF-class data)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pipeline import synth_pulsar_dada, PERIOD, DM
+    from dspsr_tpu.io.sources import open_source
+    from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+
+    path = synth_pulsar_dada(str(tmp_path / "cm.dada"), nsec=0.15)
+    cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                     nchan=4, nbin=32, block_parts=2, min_block_samples=8192)
+    res = {}
+    for tag, off in (("mega", False), ("general", True)):
+        if off:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        pipe = FoldPipeline(open_source(path), cfg)
+        assert (pipe.mega_plan is not None) == (not off)
+        if pipe.mega_plan is not None:
+            assert not pipe.mega_plan.real_input
+        res[tag] = pipe.run()
+    a = res["mega"].dedispersed()[0, :, 0, :]
+    b = res["general"].dedispersed()[0, :, 0, :]
+    assert (np.argmax(a, axis=1) == np.argmax(b, axis=1)).all()

@@ -349,8 +349,10 @@ class TestMultiPulsar:
         single-pulsar run (LoadToFold1.C:1155-1242 multi-fold)."""
         p2 = PERIOD * 1.37
         path = synth_pulsar_dada(str(tmp_path / "mp.dada"), nsec=0.3)
+        # multi-pulsar runs the general op chain; compare against single
+        # runs on the same engine (the megakernel rounds the overlap)
         base = dict(dispersion_measure=DM, nchan=4, block_parts=2,
-                    min_block_samples=0, nbin=32)
+                    min_block_samples=0, nbin=32, use_megakernel=False)
         cfg_multi = FoldConfig(folding_period=PERIOD,
                                additional_pulsars=(p2,), **base)
         res = load_to_fold(path, cfg_multi)

@@ -154,8 +154,16 @@ def test_parity_subints_aligned(tmp_path):
     assert res_n.profiles.shape[0] == 3
 
 
-def test_parity_stokes_fourth_detection(tmp_path):
+def test_parity_stokes_detection(tmp_path):
     _parity(tmp_path, _obs(), _cfg(npol_out=4), n_time=4, n_chan=2)
+
+
+def test_parity_fourth_moment(tmp_path):
+    # -4: fourteen folded moment planes, sharded (FourthMoment.C)
+    res_n, res_1 = _parity(tmp_path, _obs(),
+                           _cfg(npol_out=4, fourth_moment=True),
+                           n_time=4, n_chan=1)
+    assert res_n.profiles.shape[2] == 14
 
 
 def test_host_stripe_layout_disjoint(tmp_path):
