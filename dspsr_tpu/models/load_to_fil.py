@@ -221,6 +221,29 @@ class FilPipeline:
             pass
         self.obs_out = obs_d.replace(nbit=cfg.nbits)
 
+        # --- fused Pallas front end (ops.megakernel.build_megafil) ---
+        import os as _os
+
+        self.megafil_plan = None
+        if (self.pfb_plan is None
+                and "DSPSR_TPU_NO_MEGA" not in _os.environ
+                and obs.nchan == 1 and obs.nbit == 8
+                and cfg.npol_out == 1 and cfg.poln_select is None
+                and self.fb_plan.freq_res > 1):
+            from ..ops.megakernel import MegaPlan
+            import jax as _jax
+
+            mp = MegaPlan.from_filterbank(self.fb_plan, nbin=2,
+                                          npol=obs.npol, npol_out=1,
+                                          nbit=obs.nbit)
+            if mp is not None and (mp.row_len >= 128
+                                   or _jax.default_backend() == "cpu"):
+                self.megafil_plan = mp
+                self.fb_plan = FilterbankPlan(
+                    real_input=mp.real_input, nchan_subband=mp.nsub,
+                    freq_res=mp.freq_res, nfilt_pos=mp.nfilt_pos,
+                    nfilt_neg=mp.nfilt_neg)
+
         geom = self.pfb_plan if self.pfb_plan is not None else self.fb_plan
         step = geom.step if self.pfb_plan is not None else geom.nsamp_step
         want = -(-cfg.min_block_samples // step)
@@ -229,6 +252,20 @@ class FilPipeline:
             else cfg.block_parts
         self.block_in_samples = geom.block_ndat(self.npart)
         self.stride_in_samples = self.npart * step
+        if self.megafil_plan is not None:
+            from ..ops.megakernel import MegaConstants, build_megafil, \
+                unpack_affine
+
+            sc_, of_ = unpack_affine(obs.nbit)
+            resp_np = None
+            if self._response_natural is not None:
+                rr, ri = self._response_natural
+                resp_np = (np.asarray(rr) + 1j * np.asarray(ri))
+            cst = MegaConstants(self.megafil_plan, resp_np,
+                                unpack_scale=sc_, unpack_offset=of_)
+            self._megafil = build_megafil(self.megafil_plan, cst, self.npart)
+        else:
+            self._megafil = None
         self._rescale_state = RescaleState.zeros(
             self.obs_out.nchan, self.obs_out.npol)
         self._mean = jnp.zeros((self.obs_out.nchan, self.obs_out.npol),
@@ -293,22 +330,26 @@ class FilPipeline:
         """
         from ..ops.rescale import accumulate, apply_scales, state_mean_scale
 
-        x, w = self.unpack_plan.unpack(raw)
-        if self.config.poln_select is not None:
-            p = self.config.poln_select
-            if isinstance(x, tuple):
-                x = (x[0][:, p : p + 1], x[1][:, p : p + 1])
-            else:
-                x = x[:, p : p + 1]
-        if self.pfb_plan is not None:
-            from ..ops.polyphase import polyphase_filterbank_block
-
-            y = polyphase_filterbank_block(x, self._pfb_h, self.pfb_plan,
-                                           self.npart)
+        if self._megafil is not None:
+            d = self._megafil(raw)
+            w = None
         else:
-            y = filterbank_block(x, self.fb_plan, self.npart,
-                                 self._response_natural)
-        d = detect(y, self.det_state)
+            x, w = self.unpack_plan.unpack(raw)
+            if self.config.poln_select is not None:
+                p = self.config.poln_select
+                if isinstance(x, tuple):
+                    x = (x[0][:, p : p + 1], x[1][:, p : p + 1])
+                else:
+                    x = x[:, p : p + 1]
+            if self.pfb_plan is not None:
+                from ..ops.polyphase import polyphase_filterbank_block
+
+                y = polyphase_filterbank_block(x, self._pfb_h, self.pfb_plan,
+                                               self.npart)
+            else:
+                y = filterbank_block(x, self.fb_plan, self.npart,
+                                     self._response_natural)
+            d = detect(y, self.det_state)
         d = fscrunch(d, self.config.fscrunch_factor)
         d = tscrunch(d, self.config.tscrunch_factor)
         weights = (self._stream_weights(w, d.shape[-1])

@@ -579,3 +579,149 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         return out[0], out[1]
 
     return step
+
+
+# --------------------------------------------------------------------------
+# search-mode variant: fused unpack -> filterbank(+chirp) -> detect
+# --------------------------------------------------------------------------
+
+def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
+                  interpret: Optional[bool] = None):
+    """Fused search-mode front end (digifil's hot path): one ``pallas_call``
+    per block computing detected intensity per window in the kernel's
+    permuted layout, plus the (cheap, XLA) de-permutation back to time
+    order.
+
+    Returns a jittable ``fn(raw) -> float32[nsub, 1, npart*nkeep]`` of
+    detected, time-ordered filterbank samples (``plan.npol_out`` must be 1;
+    polarized search products stay on the XLA path).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = plan
+    p.validate()
+    if p.npol_out != 1:
+        raise ValueError("megafil: intensity detection only")
+    R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
+    npol = p.npol
+    totrows = p.total_rows(npart)
+    consts = cst.as_jax()
+    scale, offset = cst.unpack_scale, cst.unpack_offset
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    f32 = jnp.float32
+
+    def dot00(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def kernel(x_ref,
+               w1r, w1i, tr, ti, er, ei, gr, gi, mr, mi, ur, ui, vr, vi, sel,
+               out_ref, win, dma_sem):
+        w = pl.program_id(0)
+
+        def unpack_win(v):
+            v = v.astype(f32)
+            if p.nbit == 8:
+                v = v + jnp.where(v < 0, f32(256), f32(0))
+                v = v * f32(scale) + f32(offset)
+            return v
+
+        row0 = w * p.step_rows
+        for pol in range(npol):
+            if p.real_input:
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                wm = unpack_win(win[...])
+                sr = dot00(wm, w1r[...])
+                si = dot00(wm, w1i[...])
+            else:
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                ar = unpack_win(win[...])
+                copy = pltpu.make_async_copy(
+                    x_ref.at[pol, 1, pl.ds(row0, R1), :], win, dma_sem)
+                copy.start()
+                copy.wait()
+                ai = unpack_win(win[...])
+                sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
+                si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
+            cr = sr * tr[...] - si * ti[...]
+            ci = sr * ti[...] + si * tr[...]
+            xr = dot00(cr, er[...]) - dot00(ci, ei[...])
+            xi = dot00(cr, ei[...]) + dot00(ci, er[...])
+            yr = xr * gr[...] - xi * gi[...]
+            yi = xr * gi[...] + xi * gr[...]
+            e1r = mm(yr, mr[...]) - mm(yi, mi[...])
+            e1i = mm(yr, mi[...]) + mm(yi, mr[...])
+            c2r = e1r * ur[...] - e1i * ui[...]
+            c2i = e1r * ui[...] + e1i * ur[...]
+            fr = dot00(c2r, vr[...]) - dot00(c2i, vi[...])
+            fi = dot00(c2r, vi[...]) + dot00(c2i, vr[...])
+            pw = fr * fr + fi * fi
+            if pol == 0:
+                out_ref[0, :, :] = pw
+            else:
+                out_ref[0, :, :] = out_ref[0, :, :] + pw
+
+    in_dtype = jnp.int8 if p.nbit == 8 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(npart,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x rows
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(15)],
+        ],
+        out_specs=pl.BlockSpec((1, R2, R1), lambda w: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R1, p.row_len), in_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
+                   "mr", "mi", "ur", "ui", "vr", "vi", "sel")
+    const_vals = [consts[n] for n in const_order]
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npart, R2, R1), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ) if not interpret else None,
+    )
+
+    @jax.jit
+    def step(raw):
+        """raw uint8/f32 flat TFP bytes -> [nsub, 1, npart*nkeep]."""
+        if raw.dtype == jnp.uint8:
+            raw = jax.lax.bitcast_convert_type(raw, jnp.int8)
+        if p.real_input:
+            x = raw.reshape(-1, npol).T.reshape(npol, 1, totrows, p.row_len)
+        else:
+            x = jnp.transpose(raw.reshape(-1, npol, 2), (1, 2, 0))
+            x = x.reshape(npol, 2, totrows, R2)
+        P = call(x, *const_vals)  # [npart, R2, R1]
+        # de-permute: row s*q + j1, col k2' -> time t = k2'*q + j1
+        P = P.reshape(npart, nsub, q, R1)
+        P = jnp.transpose(P, (1, 0, 3, 2))  # [nsub, npart, R1(k2'), q(j1)]
+        P = P.reshape(nsub, npart, p.freq_res)
+        P = P[:, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
+        return P.reshape(nsub, 1, npart * p.nkeep)
+
+    return step

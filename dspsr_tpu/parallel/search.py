@@ -85,6 +85,11 @@ class ShardedFilPipeline:
         from ..ops.scrunch import tscrunch, fscrunch
         from ..ops.filterbank import filterbank_block
 
+        if getattr(inner, "_megafil", None) is not None:
+            d = inner._megafil(raw)
+            d = fscrunch(d, cfg.fscrunch_factor)
+            d = tscrunch(d, cfg.tscrunch_factor)
+            return d, None
         x, w = inner.unpack_plan.unpack(raw)
         if cfg.poln_select is not None:
             p = cfg.poln_select
