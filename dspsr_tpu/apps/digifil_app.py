@@ -97,7 +97,7 @@ def main(argv=None) -> int:
             print(f"digifil-tpu: {args.threads} shards -> {args.output} "
                   f"nchan {o.nchan} npol {o.npol} nbit {o.nbit}",
                   file=sys.stderr)
-        sh.run(args.output, format=fmt)
+        sh.run(args.output, format=fmt, total_seconds=args.total)
         return 0
     pipe = FilPipeline(src, cfg)
     if not args.quiet:

@@ -122,6 +122,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def coerce_set_value(obs, key: str, value: str):
+    """Coerce a ``--set KEY=VAL`` string from the DECLARED dataclass field
+    type of ``obs`` (reference TextInterface attribute editor,
+    ``Kernel/Classes/ObservationInterface.C``).  The declared type — not the
+    current value, which may be None — decides: ``Optional[X]`` unwraps to
+    X; bools parse true/false/1/0; enum-valued fields (Signal, Basis) coerce
+    through the current value's type."""
+    import dataclasses
+
+    cur = getattr(obs, key)  # raise on unknown key
+    ftypes = {f.name: f.type for f in dataclasses.fields(type(obs))}
+    ft = ftypes.get(key)
+    if not isinstance(ft, str):  # non-PEP-563 environments
+        ft = getattr(ft, "__name__", str(ft))
+    ft = ft.replace("Optional[", "").rstrip("]")
+    py = {"int": int, "float": float, "bool": bool,
+          "str": str}.get(ft.split("[")[0])
+    if py is bool:
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if py in (int, float):
+        return py(value)
+    if py is str:
+        return value
+    if cur is not None and not isinstance(cur, str):
+        return type(cur)(value)  # enums (Signal, Basis) et al.
+    return value
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.platform import configure_from_env
@@ -183,9 +211,7 @@ def main(argv=None) -> int:
             o = o.replace(source=args.name)
         for kv in args.set:
             k, _, v = kv.partition("=")
-            cur = getattr(o, k)
-            o = o.replace(**{k: type(cur)(v) if cur is not None
-                             and not isinstance(cur, str) else v})
+            o = o.replace(**{k: coerce_set_value(o, k, v)})
         src.obs = o
     if not args.quiet:
         o = src.obs

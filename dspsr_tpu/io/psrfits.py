@@ -133,8 +133,12 @@ def _write_bandpass(w: "FitsWriter", result: "FoldResult") -> None:
     nchan, npol, nres = pb.shape
     flat = pb.transpose(1, 0, 2).reshape(1, npol * nchan * nres)
     scale = flat.max() or 1.0
+    # DATA stores round(v/scale*65535 - 32768) in int16; a reader applying
+    # the PSRFITS convention v = offs + scl*data therefore needs
+    # offs = 32768 * scale / 65535 to recover the bandpass values exactly
     w.write_bintable("BANDPASS", [
-        ("DAT_OFFS", f"{npol}E", "", np.zeros((1, npol), np.float32)),
+        ("DAT_OFFS", f"{npol}E", "",
+         np.full((1, npol), 32768.0 * scale / 65535.0, np.float32)),
         ("DAT_SCL", f"{npol}E", "",
          np.full((1, npol), scale / 65535.0, np.float32)),
         ("DATA", f"{npol * nchan * nres}I", "",

@@ -78,6 +78,14 @@ class ShardedFoldPipeline:
                 cfg, min_block_samples=min(cfg.min_block_samples, cap))
         if cfg.dump_path:
             raise NotImplementedError("dump tap not supported sharded")
+        if cfg.additional_pulsars:
+            raise NotImplementedError(
+                "multi-pulsar folding not supported sharded: accumulators "
+                "are 3-D per shard (use FoldPipeline for --pulsar)")
+        if cfg.passband:
+            raise NotImplementedError(
+                "passband integration not supported sharded "
+                "(use FoldPipeline for --passband)")
         if self.n_chan > 1:
             cfg = dataclasses.replace(cfg, use_megakernel=False)
         self.inner = FoldPipeline(source, cfg)

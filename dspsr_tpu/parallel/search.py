@@ -164,7 +164,7 @@ class ShardedFilPipeline:
         return rows, tail
 
     def run(self, output_path: str, max_superblocks: Optional[int] = None,
-            format: str = "sigproc"):
+            format: str = "sigproc", total_seconds: Optional[float] = None):
         from ..io.sigproc import SigProcWriter
 
         inner = self.inner
@@ -180,6 +180,11 @@ class ShardedFilPipeline:
             raise ValueError(format)
 
         nsamp_total = self.source.total_samples
+        if total_seconds is not None:
+            # -T limit (reference SingleThread.C:694-719), clamped like
+            # FilPipeline.run
+            nsamp_total = min(nsamp_total,
+                              int(total_seconds * inner.obs_in.rate))
         interval_out = (int(cfg.rescale_seconds * inner.obs_out.rate)
                         if cfg.rescale_seconds > 0 else 0)
         out_per_shard = None
@@ -200,7 +205,10 @@ class ShardedFilPipeline:
                                                 zero_m, one_i)
                     self._mean, self._inv = state_mean_scale(
                         RescaleState(*st_first))
-                    self._state = RescaleState(*st_first)
+                    # _state stays zero: the real step below returns st_all
+                    # (which already includes shard 0 of this superblock), so
+                    # seeding st_first here would double-count shard 0 in the
+                    # first -I interval update
                 packed, st_all, _ = self._step(jnp.asarray(rows),
                                                jnp.asarray(tail),
                                                self._mean, self._inv)

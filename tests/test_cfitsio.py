@@ -66,6 +66,28 @@ class TestFoldArchiveThroughCfitsio:
             f.move_to("SUBINT")
             assert f.key_float("DM") == pytest.approx(67.99)
 
+    def test_bandpass_value_roundtrip(self, fold_result):
+        """A reader applying the PSRFITS convention v = offs + scl*data must
+        reconstruct the integrated bandpass (ADVICE r2: DAT_OFFS was 0,
+        shifting every value by -32768*scale/65535)."""
+        from dspsr_tpu.io.psrfits import save_psrfits_fold
+
+        res, tmp = fold_result
+        path = str(tmp / "vbp.ar")
+        save_psrfits_fold(path, res)
+        pb = np.asarray(res.passband, np.float64)  # [nchan, npol, nres]
+        nchan, npol, nres = pb.shape
+        with CfitsioFile(path) as f:
+            f.move_to("BANDPASS")
+            offs = f.read_col("DAT_OFFS", npol)[0]
+            scl = f.read_col("DAT_SCL", npol)[0]
+            data = f.read_col("DATA", npol * nchan * nres, np.int16)[0]
+        v = (offs[:, None] + scl[:, None]
+             * data.astype(np.float64).reshape(npol, nchan * nres))
+        want = pb.transpose(1, 0, 2).reshape(npol, nchan * nres)
+        step = scl.max()  # one quantization step
+        assert np.abs(v - want).max() <= step
+
     def test_primary_keywords(self, fold_result):
         from dspsr_tpu.io.psrfits import save_psrfits_fold
 

@@ -120,6 +120,30 @@ class TestDspsrCliOptions:
         import os
         assert os.path.exists(out.replace(".ar", "_src1.ar"))
 
+    def test_set_coerces_bool_and_declared_types(self):
+        """--set KEY=VAL coerces by the DECLARED field type: 'False' must
+        yield False for bools, and None-valued numeric fields must become
+        numbers (ADVICE r2: type(cur)('False') was True; None stayed str)."""
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.apps.dspsr_app import coerce_set_value
+
+        o = Observation(nchan=1, npol=2, ndim=1, nbit=8,
+                        centre_frequency=1400.0, bandwidth=-2.0, rate=1e6,
+                        start_time=MJD(55000, 0.1), state=Signal.NYQUIST,
+                        source="X", telescope="PKS", instrument="T")
+        assert coerce_set_value(o, "dc_centred", "False") is False
+        assert coerce_set_value(o, "dc_centred", "true") is True
+        # calfreq is declared float but defaults to 0.0/None-ish; numeric
+        assert coerce_set_value(o, "calfreq", "11.125") == 11.125
+        assert isinstance(coerce_set_value(o, "calfreq", "11.125"), float)
+        assert coerce_set_value(o, "nchan", "16") == 16
+        # enum-valued fields still coerce through the value's type
+        assert coerce_set_value(o, "state", "Analytic") is Signal.ANALYTIC
+        import pytest as _pt
+        with _pt.raises(AttributeError):
+            coerce_set_value(o, "no_such_field", "1")
+
 
 class TestThreadedClis:
     def test_dspsr_threads_option(self, tmp_path):
@@ -163,3 +187,10 @@ class TestThreadedClis:
         assert rc == 0
         import os
         assert os.path.getsize(out) > 1000
+        # -T/--total must limit the sharded run too (ADVICE r2: it was
+        # silently ignored with --threads > 1)
+        out_t = str(tmp_path / "t_cut.fil")
+        rc = main([p, "-o", out_t, "-F", "4", "-D", "2", "-b", "8",
+                   "--threads", "4", "-c", "-q", "-T", "0.08"])
+        assert rc == 0
+        assert 0 < os.path.getsize(out_t) < os.path.getsize(out)

@@ -166,6 +166,21 @@ def test_parity_fourth_moment(tmp_path):
     assert res_n.profiles.shape[2] == 14
 
 
+def test_sharded_rejects_unsupported_configs(tmp_path):
+    """additional_pulsars and passband are not wired through the sharded
+    accumulators — they must fail loudly at construction, not silently
+    drop sources / crash at trace time (ADVICE r2)."""
+    obs = _obs()
+    path = _write(tmp_path, "rej.raw", 1 << 20)
+    mesh = make_mesh(4, 1)
+    with pytest.raises(NotImplementedError):
+        ShardedFoldPipeline(RawFileSource(path, obs),
+                            _cfg(additional_pulsars=(0.007,)), mesh)
+    with pytest.raises(NotImplementedError):
+        ShardedFoldPipeline(RawFileSource(path, obs),
+                            _cfg(passband=True), mesh)
+
+
 def test_host_stripe_layout_disjoint(tmp_path):
     obs = _obs()
     mesh = make_mesh(8, 1)
