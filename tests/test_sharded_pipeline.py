@@ -181,6 +181,13 @@ def test_sharded_rejects_unsupported_configs(tmp_path):
                             _cfg(passband=True), mesh)
 
 
+def test_make_mesh_shapes():
+    m = make_mesh(8, 2)
+    assert m.shape == {"time": 4, "chan": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, 3)
+
+
 def test_host_stripe_layout_disjoint(tmp_path):
     obs = _obs()
     mesh = make_mesh(8, 1)
