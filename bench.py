@@ -26,6 +26,9 @@ import numpy as np
 
 
 def main():
+    from dspsr_tpu.utils.platform import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from dspsr_tpu.observation import Observation, Signal
@@ -159,6 +162,7 @@ def main():
         "feed": feed,
         "engine": "megakernel" if pipe.mega_plan is not None else "xla",
         "compile_s": round(compile_s, 1),
+        "compile_cache": bool(cache_dir),
     }
     if h2d_msps is not None:
         out["h2d_fed_msps"] = round(h2d_msps, 2)

@@ -280,3 +280,20 @@ class TestOptimalFFT:
         bench2 = off.FFTBench(batch=2, trials=1)
         assert bench2._table == bench._table and bench2._table
         assert opt.compute_cost(n, 100) > 0
+
+
+class TestCompilationCache:
+    def test_enable_compilation_cache_sets_config(self, tmp_path, monkeypatch):
+        """Persistent compile cache knob (reference OptimalFFT plan-cache
+        analogue): config points at the requested directory; '0' disables."""
+        import jax
+        from dspsr_tpu.utils.platform import enable_compilation_cache
+
+        d = str(tmp_path / "jaxcache")
+        got = enable_compilation_cache(d)
+        assert got == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+        monkeypatch.setenv("DSPSR_TPU_CACHE_DIR", "0")
+        assert enable_compilation_cache() is None
