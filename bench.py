@@ -72,9 +72,9 @@ def main():
 
     def fresh_acc():
         if pipe.mega_plan is not None:
-            return (jnp.zeros((pipe.mega_plan.npol_out, pipe.obs_out.nchan,
-                               pipe.nbin), jnp.float32),
-                    jnp.zeros((1, pipe.nbin), jnp.float32))
+            return (jnp.zeros((obs.nchan, pipe.mega_plan.npol_out,
+                               pipe.mega_plan.nsub, pipe.nbin), jnp.float32),
+                    jnp.zeros((obs.nchan, pipe.nbin), jnp.float32))
         return (jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol, pipe.nbin),
                           jnp.float32),
                 jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32))

@@ -519,7 +519,9 @@ class FoldPipeline:
             from ..ops.megakernel import MegaPlan
 
             mp = MegaPlan.from_filterbank(
-                self.fb_plan, self.nbin, obs.npol, cfg.npol_out, obs.nbit)
+                self.fb_plan, self.nbin, obs.npol, cfg.npol_out, obs.nbit,
+                nchan_in=obs.nchan,
+                ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0))
             if mp is not None and mp.row_len < 128 \
                     and jax.default_backend() != "cpu":
                 # Mosaic DMA slices need 128-lane-aligned rows; tiny
@@ -545,13 +547,17 @@ class FoldPipeline:
 
             # per-window phase anchors (seg = output samples per window)
             self.fold_plan = FoldPlan(self.nbin, self.mega_plan.nkeep)
-            scale, offset = unpack_affine(obs.nbit, cfg.twos_complement)
+            if obs.nbit == 2:
+                scale, offset = 1.0, 0.0  # JA98 dynamic levels in-kernel
+            else:
+                scale, offset = unpack_affine(obs.nbit, cfg.twos_complement)
             resp = self.kernel.phasors if self.kernel is not None else None
             import os as _os
             dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
                 _os.environ.get("DSPSR_TPU_MEGA_DTYPE", "f32")]
             cst = MegaConstants(self.mega_plan, resp, dtype=dt,
-                                unpack_scale=scale, unpack_offset=offset)
+                                unpack_scale=scale, unpack_offset=offset,
+                                twobit=self.unpack_plan.twobit)
             self._megastep = build_megastep(self.mega_plan, cst, self.npart)
 
         # --- apodization window (built at the final FFT geometry) ---
@@ -572,9 +578,13 @@ class FoldPipeline:
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
         nsrc = len(self.predictors)
         if self.mega_plan is not None:
+            # kernel layout: per input channel x [npol_out, nsub, nbin]
+            # profiles + per input channel hits
             self._profiles = jnp.zeros(
-                (self.mega_plan.npol_out, nchan, self.nbin), jnp.float32)
-            self._hits = jnp.zeros((1, self.nbin), jnp.float32)
+                (self.obs_in.nchan, self.mega_plan.npol_out,
+                 self.mega_plan.nsub, self.nbin), jnp.float32)
+            self._hits = jnp.zeros((self.obs_in.nchan, self.nbin),
+                                   jnp.float32)
         elif nsrc > 1:
             self._profiles = jnp.zeros((nsrc, nchan, npol, self.nbin),
                                        jnp.float32)
@@ -596,10 +606,12 @@ class FoldPipeline:
         self._passband = None
 
     def _mega_eligible(self) -> bool:
-        """The fused Pallas step covers the flagship configuration: 8-bit
-        real-sampled single-channel input through the convolving filterbank
-        into a detected fold.  Anything needing weights, taps or exotic ops
-        uses the general XLA path."""
+        """The fused Pallas step covers real or analytic 2/4/8-bit input
+        (single- or multi-channel, e.g. GUPPI RAW / VDIF baseband) through
+        the convolving filterbank into a detected fold — including 2-bit
+        JA98 dynamic-level unpacking with excision weights folded into the
+        fused fold.  Anything needing in-stream statistics (SK), taps or
+        exotic ops uses the general XLA path."""
         import os
 
         cfg = self.config
@@ -608,11 +620,12 @@ class FoldPipeline:
             cfg.use_megakernel
             and "DSPSR_TPU_NO_MEGA" not in os.environ
             and self.fb_plan is not None
-            and obs.nchan == 1
             and obs.state in (Signal.NYQUIST, Signal.ANALYTIC)
-            and obs.nbit == 8
+            and obs.nbit in (2, 4, 8)
             and not cfg.twos_complement
-            and self.unpack_plan.twobit is None
+            # 2-bit: only the JA98 dynamic path is fused (the reference's
+            # 2-bit instruments all use it); fixed-level 2-bit -> XLA
+            and (obs.nbit != 2 or self.unpack_plan.twobit is not None)
             and self.sk_plan is None
             and self.cyclic_plan is None
             and self._jones_fftorder is None
@@ -1116,11 +1129,15 @@ class FoldPipeline:
         prof = np.asarray(self._profiles)
         hits = np.asarray(self._hits)
         if self.mega_plan is not None:
-            # mega layout [npol_out, nchan, nbin] -> [nchan, npol, nbin];
-            # hits [1, nbin] are channel-uniform (no weights on this path)
-            prof = np.ascontiguousarray(prof.transpose(1, 0, 2))
-            hits = np.broadcast_to(
-                hits, (self.obs_out.nchan, self.nbin)).copy()
+            # mega layout [nchan_in, npol_out, nsub, nbin] -> archive
+            # [nchan_out, npol, nbin]; hits are per INPUT channel (excision
+            # weights) and broadcast over that channel's subbands
+            nsub = self.mega_plan.nsub
+            nci = prof.shape[0]
+            prof = np.ascontiguousarray(
+                prof.transpose(0, 2, 1, 3).reshape(
+                    nci * nsub, prof.shape[1], self.nbin))
+            hits = np.repeat(hits, nsub, axis=0)
         self._subints.append(
             (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.obs_out.rate)

@@ -3,23 +3,45 @@
 The round-1 pipeline expressed each block as one jitted XLA program of ~80
 fused op instances; the execution backend charges a large fixed latency per
 op instance (see PERF.md), so the block cost was dominated by op count, not
-FLOPs.  This module collapses the entire flagship per-block pipeline —
-8-bit unpack, real-input forward FFT, chirp multiply, per-subband inverse
-FFT, square-law detection and phase folding — into a SINGLE ``pallas_call``
-whose grid walks the overlap-save windows.  Everything runs out of VMEM as
-dense MXU matmuls; there are **no transposes and no gathers**: every data
-reorder is folded into the precomputed DFT/selection matrices, and the fold
-scatter is a chunked one-hot contraction.
+FLOPs.  This module collapses the entire per-block fold pipeline — n-bit
+unpack, forward FFT, chirp multiply, per-subband inverse FFT, detection and
+phase folding — into a SINGLE ``pallas_call`` whose grid walks (input
+channel, overlap-save window).  Everything runs out of VMEM as dense MXU
+matmuls; there are **no transposes and no gathers**: every data reorder is
+folded into the precomputed DFT/selection matrices, and the fold scatter is
+a chunked one-hot contraction.
 
-Mathematical structure (per window, per polarization):
+Round-3 generality (previously single-channel 8-bit weight-free only):
+
+- **Multi-channel input** (``nchan_in > 1``): GUPPI RAW / VDIF-class data
+  where each coarse channel gets its own convolving filterbank
+  (``io/guppi.py`` OBSNCHAN; reference per-channel loops
+  ``Filterbank.C:563``).  The grid gains a channel axis; the chirp constant
+  is per-channel and pipelined through a sliced BlockSpec.
+- **In-kernel 2-bit Jenet-Anderson dynamic-level unpack** (reference
+  ``TwoBitCorrection.h:24-89``, ``ExcisionUnpacker.C``): a cheap XLA
+  pre-stage expands packed bytes to int8 codes and counts per-block nlow;
+  the JA98 output level *application* happens inside the kernel — the
+  per-block lo/hi levels ride in as tiny side arrays and expand to
+  per-sample magnitudes via a constant one-hot matmul (``EXPAND``), so the
+  voltage reconstruction ``v = sign * (is_low ? lo : hi)`` is fused with
+  the FFT with zero float traffic from HBM.
+- **Per-window excision weights folded into the fold one-hot**: bad
+  ``ndat_per_weight`` blocks zero every window that touches them
+  (conservative ``WeightedTimeSeries::convolve_weights`` semantics, matching
+  ``models/load_to_fold._stream_weights`` exactly); the weight scales both
+  the profile contraction and the per-channel hit counts.  An
+  ``external_weights`` mode lets masks computed outside (SK, RFI) reach the
+  fused fold the same way.
+
+Mathematical structure (per channel, per window, per polarization):
 
 1. **Forward FFT** of the window, computed as a direct two-stage
    factorization.  Real (Nyquist) input of ``nsamp_fft = 2N`` samples needs
    no even/odd packing or spectrum untangling; complex (analytic) input of
    ``N`` samples uses the same structure with ``mult = 1`` and its
    ``fftshift`` folded into the chirp permutation and the block-diagonal
-   inverse-DFT column arrangement (so GUPPI/VDIF-class baseband takes the
-   same fast path).  With the window viewed as ``W[n1, m]``,
+   inverse-DFT column arrangement.  With the window viewed as ``W[n1, m]``,
    ``n = n1*(mult*R2) + m`` and output bin ``k = k2*R1 + k1`` (N = R1*R2),
    for the real case::
 
@@ -32,9 +54,9 @@ Mathematical structure (per window, per polarization):
    permuted ``[k1, k2]`` layout with zero data movement.  Bins 0..N-1 of the
    half spectrum match ``ops.mxfft.rfft_sc`` (Nyquist dropped).
 
-2. **Chirp multiply**: the dedispersion response (natural order, reference
-   ``Dedispersion.C:534-545``) pre-permuted host-side into the same
-   ``[k1, k2]`` layout — elementwise.
+2. **Chirp multiply**: this channel's slice of the dedispersion response
+   (natural order, reference ``Dedispersion.C:534-545``) pre-permuted
+   host-side into the same ``[k1, k2]`` layout — elementwise.
 
 3. **Per-subband inverse FFT** (the convolving filterbank back-transform,
    reference ``Filterbank.C:477-670``).  Subband ``s = k // freq_res`` is a
@@ -54,12 +76,12 @@ Mathematical structure (per window, per polarization):
    the pulse phase directly in the permuted coordinates (t from row/col) and
    contracts data x one-hot(bin) per j1-chunk (``Fold.C:744-788`` semantics,
    the one-hot matmul formulation of ops.fold), with the overlap-save keep
-   window (``nfilt_pos <= t < nfilt_pos + nkeep``) applied as a mask inside
-   the one-hot.
+   window (``nfilt_pos <= t < nfilt_pos + nkeep``) AND the window weight
+   applied inside the one-hot.
 
-Accumulators (profiles [nchan_out, npol_out, nbin], hits [nbin]) ride VMEM
-scratch across the grid and are added to the carried totals once, in the
-final grid step.
+Accumulators (profiles [npol_out, nsub, nbin], hits [1, nbin]) ride VMEM
+scratch across each channel's windows and are added to the carried
+per-channel totals when that channel's last window completes.
 """
 
 from __future__ import annotations
@@ -87,7 +109,7 @@ class MegaPlan:
     is always valid overlap-save).
     """
 
-    nsub: int          # output channels (nchan_subband; input nchan == 1)
+    nsub: int          # output channels per input channel (nchan_subband)
     freq_res: int      # complex samples per subband per window
     R1: int            # first-stage radix (= rows of the spectrum layout)
     nfilt_pos: int     # complex samples dropped per window head (per subband)
@@ -95,8 +117,12 @@ class MegaPlan:
     nbin: int          # fold phase bins
     npol: int          # input polarizations
     npol_out: int = 1  # 1 = Intensity, 2 = PPQQ, 4 = Stokes
-    nbit: int = 8      # input bits per sample (8 or 32)
+    nbit: int = 8      # input bits per sample (2, 4, 8 or 32)
     real_input: bool = True  # Nyquist (real) vs analytic (complex) input
+    nchan_in: int = 1  # input channels, each its own convolving filterbank
+    #: samples per JA98 correction/excision block; > 0 enables the in-kernel
+    #: dynamic-level 2-bit unpack + excision-weight path (nbit must be 2)
+    npw: int = 0
 
     @property
     def n_fft(self) -> int:
@@ -124,6 +150,10 @@ class MegaPlan:
         return 2 if self.real_input else 1
 
     @property
+    def ndim(self) -> int:
+        return 1 if self.real_input else 2
+
+    @property
     def nsamp_fft(self) -> int:
         return self.mult * self.n_fft
 
@@ -140,7 +170,13 @@ class MegaPlan:
     def step_rows(self) -> int:
         return self.nsamp_step // self.row_len
 
+    @property
+    def nlev(self) -> int:
+        """Rows of the per-block level arrays per input row (npw blocks)."""
+        return self.row_len // self.npw if self.npw else 0
+
     def block_ndat(self, npart: int) -> int:
+        """Input time samples per block PER INPUT CHANNEL."""
         return (npart * self.nsamp_step
                 + self.mult * self.nsub * self.nfilt_tot)
 
@@ -162,6 +198,17 @@ class MegaPlan:
             raise ValueError("npol_out must be 1, 2 or 4")
         if self.npol_out > 1 and self.npol != 2:
             raise ValueError("PPQQ/Stokes need npol == 2")
+        if self.nbit not in (2, 4, 8, 32):
+            raise ValueError("nbit must be 2, 4, 8 or 32")
+        if self.npw:
+            if self.nbit != 2:
+                raise ValueError("dynamic-level unpack (npw > 0) needs nbit=2")
+            if self.row_len % self.npw:
+                raise ValueError("npw must divide row_len")
+        elif self.nbit == 2:
+            raise ValueError("2-bit fast path requires npw (JA98 dynamic)")
+        if self.nchan_in < 1:
+            raise ValueError("nchan_in must be >= 1")
 
     # ---- construction ----
 
@@ -181,8 +228,14 @@ class MegaPlan:
 
     @classmethod
     def from_filterbank(cls, fb_plan, nbin: int, npol: int,
-                        npol_out: int = 1, nbit: int = 8) -> Optional["MegaPlan"]:
-        """Build from an ops.filterbank.FilterbankPlan; None if ineligible."""
+                        npol_out: int = 1, nbit: int = 8,
+                        nchan_in: int = 1,
+                        ndat_per_weight: int = 0) -> Optional["MegaPlan"]:
+        """Build from an ops.filterbank.FilterbankPlan; None if ineligible.
+
+        ``ndat_per_weight``: pass the excision block length for 2-bit input
+        (enables the in-kernel JA98 path); must divide the row length.
+        """
         nsub, freq_res = fb_plan.nchan_subband, fb_plan.freq_res
         r1 = cls.choose_r1(nsub * freq_res, freq_res)
         if r1 is None:
@@ -194,12 +247,16 @@ class MegaPlan:
         nfilt_tot = fb_plan.nfilt_pos + fb_plan.nfilt_neg
         rounded = -(-nfilt_tot // (8 * q)) * (8 * q)
         nfilt_neg = fb_plan.nfilt_neg + (rounded - nfilt_tot)
+        npw = ndat_per_weight if nbit == 2 else 0
         plan = cls(nsub=nsub, freq_res=freq_res, R1=r1,
                    nfilt_pos=fb_plan.nfilt_pos, nfilt_neg=nfilt_neg,
                    nbin=nbin, npol=npol, npol_out=npol_out, nbit=nbit,
-                   real_input=fb_plan.real_input)
+                   real_input=fb_plan.real_input, nchan_in=nchan_in,
+                   npw=npw)
         if plan.nkeep <= 0:
             return None
+        if nbit == 2 and (npw <= 0 or plan.row_len % npw):
+            return None  # weight blocks must tile the row -> XLA path
         plan.validate()
         return plan
 
@@ -209,7 +266,7 @@ class MegaConstants:
 
     def __init__(self, plan: MegaPlan, response_natural: Optional[np.ndarray],
                  dtype=np.float32, unpack_scale: float = 1.0,
-                 unpack_offset: float = 0.0):
+                 unpack_offset: float = 0.0, twobit=None):
         p = plan
         R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
         N, M = p.n_fft, p.freq_res
@@ -238,17 +295,21 @@ class MegaConstants:
         E = np.exp(-2j * np.pi * np.outer(m, k2) / (mult * R2))
         self.er, self.ei = c(E.real), c(E.imag)
 
-        # chirp in [k1, k2] layout (flat bin k = k2*R1 + k1).  For complex
-        # input the data FFT is NOT fftshifted in-kernel; the shift is folded
-        # in here: natural-order bin j lives at FFT bin (j + N/2) mod N.
+        # per-channel chirp in [k1, k2] layout (flat bin k = k2*R1 + k1).
+        # For complex input the data FFT is NOT fftshifted in-kernel; the
+        # shift is folded in here: natural-order bin j of a channel lives at
+        # that channel's FFT bin (j + N/2) mod N.
         if response_natural is not None:
-            flat = np.asarray(response_natural).reshape(N).astype(np.complex128)
+            flat = np.asarray(response_natural).reshape(
+                p.nchan_in, N).astype(np.complex128)
         else:
-            flat = np.ones(N, np.complex128)
+            flat = np.ones((p.nchan_in, N), np.complex128)
         if not p.real_input:
-            flat = np.roll(flat, -(N // 2))
-        G = flat.reshape(R2, R1).T  # [k1, k2]
-        self.gr, self.gi = c(G.real.copy()), c(G.imag.copy())
+            flat = np.roll(flat, -(N // 2), axis=1)
+        G = np.transpose(flat.reshape(p.nchan_in, R2, R1),
+                         (0, 2, 1))  # [nchan, k1, k2]
+        self.gr, self.gi = c(np.ascontiguousarray(G.real)), \
+            c(np.ascontiguousarray(G.imag))
 
         # inverse stage 1: block-diagonal radix-q inverse DFT [R2, R2].
         # Complex input: the fftshift permutes which k2 columns belong to
@@ -279,6 +340,26 @@ class MegaConstants:
             sel[j, np.arange(nsub), np.arange(nsub) * q + j] = 1.0
         self.sel = c(sel)
 
+        # JA98 dynamic-level machinery (nbit == 2): per-nlow lookup tables
+        # for the XLA pre-stage, and the in-kernel block->sample expansion
+        # matrix EXPAND[b, t] = 1 iff t // npw == b (a one-hot level
+        # broadcast as an MXU matmul; reference TwoBitCorrection level
+        # tables TwoBitLookup.C)
+        self.twobit = twobit
+        if p.npw:
+            if twobit is None:
+                from ..unpack.twobit import TwoBitCorrection
+
+                self.twobit = TwoBitCorrection(ndat_per_weight=p.npw)
+            if self.twobit.ndat_per_weight != p.npw:
+                raise ValueError("twobit.ndat_per_weight != plan.npw")
+            ex = np.zeros((p.nlev, p.row_len), np.float64)
+            for b in range(p.nlev):
+                ex[b, b * p.npw:(b + 1) * p.npw] = 1.0
+            self.expand = c(ex)
+        else:
+            self.expand = None
+
     def as_jax(self):
         names = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
                  "mr", "mi", "ur", "ui", "vr", "vi", "sel")
@@ -302,75 +383,155 @@ def unpack_affine(nbit: int, twos_complement: bool = False) -> Tuple[float, floa
 
 
 # --------------------------------------------------------------------------
+# shared host/XLA helpers
+# --------------------------------------------------------------------------
+
+def window_weight_spans(plan: MegaPlan, npart: int):
+    """[(a, b)] weight-block index span covered by each window — the
+    conservative convolve_weights rule shared with
+    ``models/load_to_fold._stream_weights`` (any bad block in the window
+    zeroes the whole window).  Valid because npw divides nsamp_step and
+    nsamp_fft (both are multiples of row_len)."""
+    spans = []
+    for w in range(npart):
+        a = (w * plan.nsamp_step) // plan.npw
+        b = (w * plan.nsamp_step + plan.nsamp_fft) // plan.npw
+        spans.append((a, b))
+    return spans
+
+
+def _decode_codes_np(raw: np.ndarray, plan: MegaPlan, npart: int) -> np.ndarray:
+    """uint8 TFP bytes -> integer codes [nchan, npol, ndim, T] (numpy)."""
+    p = plan
+    if p.nbit == 8:
+        codes = raw.astype(np.int64)
+    else:
+        per = 8 // p.nbit
+        mask = (1 << p.nbit) - 1
+        shifts = (np.arange(per) * p.nbit)[::-1]  # msb first
+        codes = ((raw[:, None].astype(np.int64) >> shifts[None, :]) & mask
+                 ).reshape(-1)
+    T = p.block_ndat(npart)
+    return codes.reshape(T, p.nchan_in, p.npol, p.ndim).transpose(1, 2, 3, 0)
+
+
+def _twobit_levels_np(codes, plan: MegaPlan, cst: MegaConstants):
+    """JA98 per-block levels + channel weights (numpy, float64).
+
+    codes: [nchan, npol, ndim, T] 2-bit codes.  Returns
+    (vals [nchan, npol, ndim, T], w_chan [nchan, nweights]).
+    """
+    p = plan
+    tb = cst.twobit
+    lo_t, hi_t = tb.level_tables
+    w_t = tb.weight_table
+    T = codes.shape[-1]
+    nweights = T // p.npw
+    is_low = (codes == 1) | (codes == 2)
+    nlow = is_low.reshape(*codes.shape[:-1], nweights, p.npw).sum(-1)
+    lo = lo_t.astype(np.float64)[nlow]   # [nchan, npol, ndim, nweights]
+    hi = hi_t.astype(np.float64)[nlow]
+    wd = w_t.astype(np.float64)[nlow]
+    sign = np.where(codes >= 2, 1.0, -1.0)
+    mag = np.where(is_low,
+                   np.repeat(lo, p.npw, axis=-1),
+                   np.repeat(hi, p.npw, axis=-1))
+    vals = sign * mag
+    w_chan = wd.reshape(p.nchan_in, p.npol * p.ndim, nweights).min(axis=1)
+    return vals, w_chan
+
+
+# --------------------------------------------------------------------------
 # numpy reference (slow, float64) — ground truth for the kernel tests
 # --------------------------------------------------------------------------
 
 def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
-                   phi0: np.ndarray, dphi: np.ndarray, npart: int):
+                   phi0: np.ndarray, dphi: np.ndarray, npart: int,
+                   ext_weights: Optional[np.ndarray] = None):
     """Straight-line float64 implementation of the fused step.
 
-    raw: uint8[block_ndat * npol] interleaved TFP bytes (or float32 when
-    plan.nbit == 32).  Returns (profiles [nsub, npol_out, nbin], hits [nbin]).
+    raw: uint8[block_ndat * nchan * npol * ndim * nbit/8] interleaved TFP
+    bytes (or float32 when plan.nbit == 32).  ext_weights: optional
+    [nchan_in, npart] per-window weights.  Returns
+    (profiles [nchan_in, npol_out, nsub, nbin], hits [nchan_in, nbin]).
     """
     p = plan
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
-    # unpack + deinterleave
-    x = raw.astype(np.float64) * cst.unpack_scale + cst.unpack_offset
-    if p.real_input:
-        x = x.reshape(-1, p.npol).T  # [npol, ndat]
+    # unpack + deinterleave to [nchan, npol, ndim, T] float64
+    if p.nbit == 32:
+        vals = np.asarray(raw, np.float64).reshape(
+            -1, p.nchan_in, p.npol, p.ndim).transpose(1, 2, 3, 0)
+        wgt = np.ones((p.nchan_in, npart))
+    elif p.npw:
+        codes = _decode_codes_np(np.asarray(raw), p, npart)
+        vals, w_chan = _twobit_levels_np(codes, p, cst)
+        wgt = np.ones((p.nchan_in, npart))
+        for w, (a, b) in enumerate(window_weight_spans(p, npart)):
+            wgt[:, w] = w_chan[:, a:b].min(axis=1)
     else:
-        t = x.reshape(-1, p.npol, 2)  # (t, pol, dim)
-        x = (t[:, :, 0] + 1j * t[:, :, 1]).T  # [npol, ndat] complex
+        codes = _decode_codes_np(np.asarray(raw), p, npart)
+        vals = codes.astype(np.float64) * cst.unpack_scale + cst.unpack_offset
+        wgt = np.ones((p.nchan_in, npart))
+    if ext_weights is not None:
+        wgt = wgt * np.asarray(ext_weights, np.float64)
+    if p.real_input:
+        x = vals[:, :, 0, :]  # [nchan, npol, T]
+    else:
+        x = vals[:, :, 0, :] + 1j * vals[:, :, 1, :]
+
     W1 = cst.w1r.astype(np.float64) + 1j * cst.w1i.astype(np.float64)
-    T = cst.tr.astype(np.float64) + 1j * cst.ti.astype(np.float64)
+    T_ = cst.tr.astype(np.float64) + 1j * cst.ti.astype(np.float64)
     E = cst.er.astype(np.float64) + 1j * cst.ei.astype(np.float64)
     G = cst.gr.astype(np.float64) + 1j * cst.gi.astype(np.float64)
     Mb = cst.mr.astype(np.float64) + 1j * cst.mi.astype(np.float64)
     U = cst.ur.astype(np.float64) + 1j * cst.ui.astype(np.float64)
     V = cst.vr.astype(np.float64) + 1j * cst.vi.astype(np.float64)
 
-    profiles = np.zeros((nsub, p.npol_out, p.nbin))
-    hits = np.zeros(p.nbin)
-    for w in range(npart):
-        Fpols = []
-        for pol in range(p.npol):
-            win = x[pol, w * p.nsamp_step: w * p.nsamp_step + p.nsamp_fft]
-            Wm = win.reshape(R1, -1)  # [n1, m] (m = 2*R2 real, R2 complex)
-            S = np.einsum("nm,nk->mk", Wm, W1)         # [mult*R2, R1]
-            C = S * T                                   # twiddle
-            X = np.einsum("mk,mj->kj", C, E)            # [R1, R2]
-            Y = X * G                                   # chirp
-            E1 = Y @ Mb                                 # [R1, R2]
-            C2 = E1 * U
-            F = np.einsum("kr,kc->rc", C2, V)           # [R2, R1]
-            Fpols.append(F)
-        # detection in permuted layout
-        if p.npol_out == 1:
-            planes = [sum(np.abs(F) ** 2 for F in Fpols)]
-        elif p.npol_out == 2:
-            planes = [np.abs(Fpols[0]) ** 2, np.abs(Fpols[1]) ** 2]
-        else:  # Stokes I,Q,U,V with U+iV = 2 p* q (stokes_detect.ic:38-43)
-            pp = np.abs(Fpols[0]) ** 2
-            qq = np.abs(Fpols[1]) ** 2
-            cross = np.conj(Fpols[0]) * Fpols[1]
-            planes = [pp + qq, pp - qq, 2 * cross.real, 2 * cross.imag]
-        # fold
-        for j1 in range(q):
-            k2p = np.arange(R1)
-            t = k2p * q + j1
-            # f32 phase arithmetic, mirroring the device kernel exactly
-            phi = (np.float32(phi0[w])
-                   + np.float32(dphi[w]) * (t - p.nfilt_pos).astype(np.float32))
-            frac = (phi - np.floor(phi)).astype(np.float32)
-            b = np.minimum((frac * np.float32(p.nbin)).astype(np.int64),
-                           p.nbin - 1)
-            keep = (t >= p.nfilt_pos) & (t < p.nfilt_pos + p.nkeep)
-            onehot = np.zeros((R1, p.nbin))
-            onehot[np.arange(R1)[keep], b[keep]] = 1.0
-            for ip, P in enumerate(planes):
-                rows = P[np.arange(nsub) * q + j1, :]  # [nsub, R1]
-                profiles[:, ip, :] += rows @ onehot
-            hits += onehot.sum(axis=0)
+    profiles = np.zeros((p.nchan_in, p.npol_out, nsub, p.nbin))
+    hits = np.zeros((p.nchan_in, p.nbin))
+    for ci in range(p.nchan_in):
+        for w in range(npart):
+            Fpols = []
+            for pol in range(p.npol):
+                win = x[ci, pol,
+                        w * p.nsamp_step: w * p.nsamp_step + p.nsamp_fft]
+                Wm = win.reshape(R1, -1)  # [n1, m] (m = 2*R2 real, R2 cplx)
+                S = np.einsum("nm,nk->mk", Wm, W1)         # [mult*R2, R1]
+                C = S * T_                                  # twiddle
+                X = np.einsum("mk,mj->kj", C, E)            # [R1, R2]
+                Y = X * G[ci]                               # chirp
+                E1 = Y @ Mb                                 # [R1, R2]
+                C2 = E1 * U
+                F = np.einsum("kr,kc->rc", C2, V)           # [R2, R1]
+                Fpols.append(F)
+            # detection in permuted layout
+            if p.npol_out == 1:
+                planes = [sum(np.abs(F) ** 2 for F in Fpols)]
+            elif p.npol_out == 2:
+                planes = [np.abs(Fpols[0]) ** 2, np.abs(Fpols[1]) ** 2]
+            else:  # Stokes I,Q,U,V with U+iV = 2 p* q (stokes_detect.ic)
+                pp = np.abs(Fpols[0]) ** 2
+                qq = np.abs(Fpols[1]) ** 2
+                cross = np.conj(Fpols[0]) * Fpols[1]
+                planes = [pp + qq, pp - qq, 2 * cross.real, 2 * cross.imag]
+            # fold (window weight folded into the one-hot)
+            for j1 in range(q):
+                k2p = np.arange(R1)
+                t = k2p * q + j1
+                # f32 phase arithmetic, mirroring the device kernel exactly
+                phi = (np.float32(phi0[w])
+                       + np.float32(dphi[w])
+                       * (t - p.nfilt_pos).astype(np.float32))
+                frac = (phi - np.floor(phi)).astype(np.float32)
+                b = np.minimum((frac * np.float32(p.nbin)).astype(np.int64),
+                               p.nbin - 1)
+                keep = (t >= p.nfilt_pos) & (t < p.nfilt_pos + p.nkeep)
+                onehot = np.zeros((R1, p.nbin))
+                onehot[np.arange(R1)[keep], b[keep]] = wgt[ci, w]
+                for ip, P in enumerate(planes):
+                    rows = P[np.arange(nsub) * q + j1, :]  # [nsub, R1]
+                    profiles[ci, ip] += rows @ onehot
+                hits[ci] += onehot.sum(axis=0)
     return profiles, hits
 
 
@@ -378,13 +539,73 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
 # the Pallas kernel
 # --------------------------------------------------------------------------
 
-def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
-                   interpret: Optional[bool] = None):
-    """Returns a jittable fn(profiles, hits, raw, phi0, dphi) -> (profiles,
-    hits) where profiles is [npol_out, nsub, nbin] f32 and hits [1, nbin].
+def _prepare_input(raw, plan: MegaPlan, npart: int, cst: MegaConstants):
+    """XLA pre-stage: raw bytes -> kernel operands.
 
-    raw: uint8[block_ndat * npol] (TFP interleaved) or float32 of the same
-    logical shape when plan.nbit == 32.
+    Returns (x [nchan, npol, ndim, totrows, row_len] int8/f32,
+             lohi [nchan, npol, ndim, 2, totrows, nlev] f32 or None,
+             wgt2 [nchan, npart] f32 or None).
+    """
+    from ..unpack.unpackers import bytes_to_codes, onehot_lookup
+
+    p = plan
+    totrows = p.total_rows(npart)
+    lohi = None
+    wgt2 = None
+    if p.nbit == 32:
+        x = raw.reshape(-1, p.nchan_in, p.npol, p.ndim)
+        x = jnp.transpose(x, (1, 2, 3, 0)).reshape(
+            p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
+        return x, lohi, wgt2
+    if p.nbit == 8:
+        codes = jax.lax.bitcast_convert_type(raw, jnp.int8)
+    else:
+        codes = bytes_to_codes(raw, p.nbit).astype(jnp.int8)
+    ct = jnp.transpose(codes.reshape(-1, p.nchan_in, p.npol, p.ndim),
+                       (1, 2, 3, 0))  # [nchan, npol, ndim, T]
+    x = ct.reshape(p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
+    if p.npw:
+        # JA98 per-block nlow -> levels + excision weights (the table
+        # lookup lives here as one-hot matmuls; the level APPLICATION is
+        # in-kernel).  Reference TwoBitCorrection::dig_unpack +
+        # ExcisionUnpacker nlow window.
+        tb = cst.twobit
+        T = p.block_ndat(npart)
+        nweights = T // p.npw
+        is_low = jnp.logical_or(ct == 1, ct == 2)
+        nlow = jnp.sum(
+            is_low.reshape(p.nchan_in, p.npol, p.ndim, nweights, p.npw),
+            axis=-1).astype(jnp.int32)
+        npw1 = p.npw + 1
+        lo = onehot_lookup(jnp.asarray(tb.level_tables[0]), nlow, npw1)
+        hi = onehot_lookup(jnp.asarray(tb.level_tables[1]), nlow, npw1)
+        wd = onehot_lookup(jnp.asarray(tb.weight_table), nlow, npw1)
+        lohi = jnp.stack([lo, hi], axis=3).reshape(
+            p.nchan_in, p.npol, p.ndim, 2, totrows, p.nlev)
+        w_chan = jnp.min(wd.reshape(p.nchan_in, p.npol * p.ndim, nweights),
+                         axis=1)
+        cols = [jnp.min(w_chan[:, a:b], axis=1)
+                for (a, b) in window_weight_spans(p, npart)]
+        wgt2 = jnp.stack(cols, axis=1)  # [nchan, npart]
+    return x, lohi, wgt2
+
+
+def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
+                   interpret: Optional[bool] = None,
+                   external_weights: bool = False):
+    """Returns a jittable fused fold step.
+
+    Signature: ``fn(profiles, hits, raw, phi0, dphi[, weights])`` ->
+    ``(profiles, hits)`` where profiles is
+    ``f32[nchan_in, npol_out, nsub, nbin]`` and hits
+    ``f32[nchan_in, nbin]`` (both donated carries).
+
+    raw: uint8 flat TFP bytes (2/4/8-bit packed) or float32 of the same
+    logical sample count when plan.nbit == 32.  With
+    ``external_weights=True`` the step takes an extra
+    ``weights f32[nchan_in, npart]`` per-window multiplicative mask (SK/RFI
+    masks computed outside the kernel; combined with the 2-bit excision
+    weights when both are present).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -393,9 +614,11 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
     p.validate()
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
     nbin, npol, npol_out = p.nbin, p.npol, p.npol_out
+    nchan, ndim = p.nchan_in, p.ndim
     totrows = p.total_rows(npart)
     consts = cst.as_jax()
     scale, offset = cst.unpack_scale, cst.unpack_offset
+    has_lohi = bool(p.npw)
     if interpret is None:
         # Mosaic compiles for real TPU backends (incl. the tunneled one);
         # interpret only on CPU (tests)
@@ -413,57 +636,85 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)
 
-    def kernel(phi0_ref, dphi_ref, x_ref,
-               w1r, w1i, tr, ti, er, ei, gr, gi, mr, mi, ur, ui, vr, vi, sel,
-               prof_in, hits_in, prof_out, hits_out,
-               win, dma_sem, pacc, xacc, prof_acc, hits_acc):
-        w = pl.program_id(0)
+    def kernel(*refs):
+        it = iter(refs)
+        phi0_ref = next(it)
+        dphi_ref = next(it)
+        wgt_ref = next(it)
+        x_ref = next(it)
+        lohi_ref = next(it) if has_lohi else None
+        (w1r, w1i, tr, ti, er, ei, gr, gi,
+         mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(15))
+        expand = next(it) if has_lohi else None
+        prof_in = next(it)
+        hits_in = next(it)
+        prof_out = next(it)
+        hits_out = next(it)
+        win = next(it)
+        dma_sem = next(it)
+        pacc = next(it)
+        xacc = next(it)
+        prof_acc = next(it)
+        hits_acc = next(it)
+
+        ci = pl.program_id(0)
+        w = pl.program_id(1)
 
         @pl.when(w == 0)
         def _init():
             prof_acc[...] = jnp.zeros_like(prof_acc)
             hits_acc[...] = jnp.zeros_like(hits_acc)
 
-        def unpack_win(v):
-            v = v.astype(f32)
+        row0 = w * p.step_rows
+
+        def load_plane(pol, d):
+            """DMA one (pol, dim) window plane and apply the unpack map —
+            the n-bit -> voltage conversion lives INSIDE the kernel."""
+            copy = pltpu.make_async_copy(
+                x_ref.at[ci, pol, d, pl.ds(row0, R1), :], win, dma_sem)
+            copy.start()
+            copy.wait()
+            v = win[...].astype(f32)
+            if p.nbit == 32:
+                return v
             if p.nbit == 8:
                 # window arrives as int8 (Mosaic has no u8->f32 cast);
                 # undo the two's-complement wrap to recover the byte value
                 v = v + jnp.where(v < 0, f32(256), f32(0))
-                v = v * f32(scale) + f32(offset)
-            return v
+                return v * f32(scale) + f32(offset)
+            if p.nbit == 4:
+                return v * f32(scale) + f32(offset)
+            # nbit == 2: JA98 dynamic levels.  The per-block lo/hi arrays
+            # are tiny (T/npw values) and ride whole in VMEM (BlockSpec,
+            # pipelined per channel); EXPAND broadcasts this window's rows
+            # to per-sample magnitudes on the MXU (TwoBitCorrection level
+            # application)
+            lo_rows = lohi_ref[0, pol, d, 0, pl.ds(row0, R1), :]
+            hi_rows = lohi_ref[0, pol, d, 1, pl.ds(row0, R1), :]
+            lo_exp = mm(lo_rows, expand[...])
+            hi_exp = mm(hi_rows, expand[...])
+            sign = jnp.where(v >= f32(2), f32(1), f32(-1))
+            is_low = jnp.logical_or(v == f32(1), v == f32(2))
+            return sign * jnp.where(is_low, lo_exp, hi_exp)
 
-        row0 = w * p.step_rows
         for pol in range(npol):
             if p.real_input:
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                wm = unpack_win(win[...])
+                wm = load_plane(pol, 0)
                 # real-input stage 1: real x complex DFT (2 matmuls)
                 sr = dot00(wm, w1r[...])
                 si = dot00(wm, w1i[...])
             else:
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                ar = unpack_win(win[...])
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 1, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                ai = unpack_win(win[...])
+                ar = load_plane(pol, 0)
+                ai = load_plane(pol, 1)
                 # complex-input stage 1 (4 matmuls)
                 sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
                 si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
             cr = sr * tr[...] - si * ti[...]
-            ci = sr * ti[...] + si * tr[...]
-            xr = dot00(cr, er[...]) - dot00(ci, ei[...])
-            xi = dot00(cr, ei[...]) + dot00(ci, er[...])
-            yr = xr * gr[...] - xi * gi[...]
-            yi = xr * gi[...] + xi * gr[...]
+            ci_ = sr * ti[...] + si * tr[...]
+            xr = dot00(cr, er[...]) - dot00(ci_, ei[...])
+            xi = dot00(cr, ei[...]) + dot00(ci_, er[...])
+            yr = xr * gr[0] - xi * gi[0]
+            yi = xr * gi[0] + xi * gr[0]
             e1r = mm(yr, mr[...]) - mm(yi, mi[...])
             e1i = mm(yr, mi[...]) + mm(yi, mr[...])
             c2r = e1r * ur[...] - e1i * ui[...]
@@ -495,6 +746,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
 
         phi0 = phi0_ref[w, 0]
         dphi = dphi_ref[w, 0]
+        wgt = wgt_ref[ci, w]
         bin_ids = jax.lax.broadcasted_iota(jnp.int32, (R1, nbin), 1)
         k2p = jax.lax.broadcasted_iota(jnp.int32, (R1, nbin), 0).astype(f32)
         for j1 in range(q):
@@ -505,8 +757,10 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             b = jnp.clip(b, 0, nbin - 1)
             keep = jnp.logical_and(t >= float(p.nfilt_pos),
                                    t < float(p.nfilt_pos + p.nkeep))
+            # excision/SK weight folded into the one-hot: scales both the
+            # profile contraction AND the hit counts (WeightedTimeSeries)
             onehot = jnp.where(jnp.logical_and(b == bin_ids, keep),
-                               f32(1), f32(0))
+                               wgt, f32(0))
             for ip, plane in enumerate(planes):
                 rows = mm(sel[j1], plane)
                 prof_acc[ip, :, :] = prof_acc[ip, :, :] + mm(rows, onehot)
@@ -515,46 +769,79 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
 
         @pl.when(w == npart - 1)
         def _fin():
-            prof_out[...] = prof_in[...] + prof_acc[...]
-            hits_out[...] = hits_in[...] + hits_acc[...]
+            prof_out[0] = prof_in[0] + prof_acc[...]
+            hits_out[0] = hits_in[0] + hits_acc[...]
 
-    in_dtype = jnp.int8 if p.nbit == 8 else jnp.float32
+    in_dtype = jnp.int8 if p.nbit != 32 else jnp.float32
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # phi0 [npart, 1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # dphi [npart, 1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # wgt [nchan, npart]
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # x planes
+    ]
+    if has_lohi:
+        # lohi [nchan, npol, ndim, 2, totrows, nlev]: whole per-channel
+        # block in VMEM (tiny: T/npw values per digitizer pair)
+        in_specs.append(pl.BlockSpec(
+            (1, npol, ndim, 2, totrows, p.nlev),
+            lambda c, w: (c, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM))
+    # constants: the chirp pair is per-channel (pipelined via BlockSpec);
+    # the DFT matrices are channel-independent (whole-array VMEM)
+    for name in ("w1r", "w1i", "tr", "ti", "er", "ei"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, R1, R2), lambda c, w: (c, 0, 0),
+                                 memory_space=pltpu.VMEM))  # gr
+    in_specs.append(pl.BlockSpec((1, R1, R2), lambda c, w: (c, 0, 0),
+                                 memory_space=pltpu.VMEM))  # gi
+    for name in ("mr", "mi", "ur", "ui", "vr", "vi", "sel"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_lohi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # expand
+    in_specs.append(pl.BlockSpec((1, npol_out, nsub, nbin),
+                                 lambda c, w: (c, 0, 0, 0),
+                                 memory_space=pltpu.VMEM))  # prof_in
+    # hits ride as [nchan, 1, nbin] so the per-channel block's LAST TWO
+    # dims (1, nbin) equal the array dims (Mosaic tiling requirement)
+    in_specs.append(pl.BlockSpec((1, 1, nbin), lambda c, w: (c, 0, 0),
+                                 memory_space=pltpu.VMEM))  # hits_in
+
+    out_specs = [
+        pl.BlockSpec((1, npol_out, nsub, nbin), lambda c, w: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nbin), lambda c, w: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    scratch_shapes = [
+        pltpu.VMEM((R1, p.row_len), in_dtype),    # window plane
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((R2, R1), jnp.float32),        # pacc
+        pltpu.VMEM((2 * p.npol if npol_out > 1 else 1, R2, R1),
+                   jnp.float32),                  # voltage planes
+        pltpu.VMEM((npol_out, nsub, nbin), jnp.float32),
+        pltpu.VMEM((1, nbin), jnp.float32),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(npart,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # phi0 [npart, 1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dphi [npart, 1]
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # x rows
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(15)],
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # prof_in
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hits_in
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((R1, p.row_len), in_dtype),    # window plane
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((R2, R1), jnp.float32),        # pacc
-            pltpu.VMEM((2 * p.npol if npol_out > 1 else 1, R2, R1),
-                       jnp.float32),                  # voltage planes
-            pltpu.VMEM((npol_out, nsub, nbin), jnp.float32),
-            pltpu.VMEM((1, nbin), jnp.float32),
-        ],
+        grid=(nchan, npart),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
                    "mr", "mi", "ur", "ui", "vr", "vi", "sel")
     const_vals = [consts[n] for n in const_order]
+    if has_lohi:
+        const_vals.append(jnp.asarray(cst.expand))
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((npol_out, nsub, nbin), jnp.float32),
-            jax.ShapeDtypeStruct((1, nbin), jnp.float32),
+            jax.ShapeDtypeStruct((nchan, npol_out, nsub, nbin), jnp.float32),
+            jax.ShapeDtypeStruct((nchan, 1, nbin), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -562,21 +849,40 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         ) if not interpret else None,
     )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(profiles, hits, raw, phi0, dphi):
-        """profiles [npol_out, nsub, nbin], hits [1, nbin], raw uint8/f32
-        flat TFP bytes, phi0/dphi [npart]."""
-        if raw.dtype == jnp.uint8:
-            raw = jax.lax.bitcast_convert_type(raw, jnp.int8)
-        if p.real_input:
-            x = raw.reshape(-1, npol).T.reshape(npol, 1, totrows, p.row_len)
+    def _run(profiles, hits, raw, phi0, dphi, ext_wgt):
+        x, lohi, wgt2 = _prepare_input(raw, p, npart, cst)
+        if wgt2 is None:
+            wgt = jnp.ones((nchan, npart), jnp.float32)
         else:
-            # TFP (t, pol, dim) -> [npol, dim, rows, R2]
-            x = jnp.transpose(raw.reshape(-1, npol, 2), (1, 2, 0))
-            x = x.reshape(npol, 2, totrows, R2)
-        out = call(phi0.reshape(npart, 1), dphi.reshape(npart, 1), x,
-                   *const_vals, profiles, hits)
-        return out[0], out[1]
+            wgt = wgt2
+        if ext_wgt is not None:
+            wgt = wgt * ext_wgt.astype(jnp.float32)
+        args = [phi0.reshape(npart, 1), dphi.reshape(npart, 1), wgt, x]
+        if has_lohi:
+            args.append(lohi)
+        args += const_vals
+        args += [profiles, hits.reshape(nchan, 1, nbin)]
+        out = call(*args)
+        return out[0], out[1].reshape(nchan, nbin)
+
+    if external_weights:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(profiles, hits, raw, phi0, dphi, weights):
+            """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
+            raw flat TFP bytes, phi0/dphi [npart], weights [nchan, npart]."""
+            if raw.dtype == jnp.uint8 and p.nbit == 32:
+                raw = jax.lax.bitcast_convert_type(
+                    raw.reshape(-1, 4), jnp.float32).reshape(-1)
+            return _run(profiles, hits, raw, phi0, dphi, weights)
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(profiles, hits, raw, phi0, dphi):
+            """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
+            raw flat TFP bytes, phi0/dphi [npart]."""
+            if raw.dtype == jnp.uint8 and p.nbit == 32:
+                raw = jax.lax.bitcast_convert_type(
+                    raw.reshape(-1, 4), jnp.float32).reshape(-1)
+            return _run(profiles, hits, raw, phi0, dphi, None)
 
     return step
 
@@ -592,9 +898,9 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     permuted layout, plus the (cheap, XLA) de-permutation back to time
     order.
 
-    Returns a jittable ``fn(raw) -> float32[nsub, 1, npart*nkeep]`` of
-    detected, time-ordered filterbank samples (``plan.npol_out`` must be 1;
-    polarized search products stay on the XLA path).
+    Returns a jittable ``fn(raw) -> float32[nchan_in*nsub, 1, npart*nkeep]``
+    of detected, time-ordered filterbank samples (``plan.npol_out`` must be
+    1; polarized search products stay on the XLA path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -604,10 +910,11 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     if p.npol_out != 1:
         raise ValueError("megafil: intensity detection only")
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
-    npol = p.npol
+    npol, nchan, ndim = p.npol, p.nchan_in, p.ndim
     totrows = p.total_rows(npart)
     consts = cst.as_jax()
     scale, offset = cst.unpack_scale, cst.unpack_offset
+    has_lohi = bool(p.npw)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -623,47 +930,58 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)
 
-    def kernel(x_ref,
-               w1r, w1i, tr, ti, er, ei, gr, gi, mr, mi, ur, ui, vr, vi, sel,
-               out_ref, win, dma_sem):
-        w = pl.program_id(0)
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        lohi_ref = next(it) if has_lohi else None
+        (w1r, w1i, tr, ti, er, ei, gr, gi,
+         mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(15))
+        expand = next(it) if has_lohi else None
+        out_ref = next(it)
+        win = next(it)
+        dma_sem = next(it)
 
-        def unpack_win(v):
-            v = v.astype(f32)
+        ci = pl.program_id(0)
+        w = pl.program_id(1)
+
+        def load_plane(pol, d):
+            copy = pltpu.make_async_copy(
+                x_ref.at[ci, pol, d, pl.ds(w * p.step_rows, R1), :],
+                win, dma_sem)
+            copy.start()
+            copy.wait()
+            v = win[...].astype(f32)
+            if p.nbit == 32:
+                return v
             if p.nbit == 8:
                 v = v + jnp.where(v < 0, f32(256), f32(0))
-                v = v * f32(scale) + f32(offset)
-            return v
+                return v * f32(scale) + f32(offset)
+            if p.nbit == 4:
+                return v * f32(scale) + f32(offset)
+            lo_rows = lohi_ref[0, pol, d, 0, pl.ds(w * p.step_rows, R1), :]
+            hi_rows = lohi_ref[0, pol, d, 1, pl.ds(w * p.step_rows, R1), :]
+            lo_exp = mm(lo_rows, expand[...])
+            hi_exp = mm(hi_rows, expand[...])
+            sign = jnp.where(v >= f32(2), f32(1), f32(-1))
+            is_low = jnp.logical_or(v == f32(1), v == f32(2))
+            return sign * jnp.where(is_low, lo_exp, hi_exp)
 
-        row0 = w * p.step_rows
         for pol in range(npol):
             if p.real_input:
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                wm = unpack_win(win[...])
+                wm = load_plane(pol, 0)
                 sr = dot00(wm, w1r[...])
                 si = dot00(wm, w1i[...])
             else:
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 0, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                ar = unpack_win(win[...])
-                copy = pltpu.make_async_copy(
-                    x_ref.at[pol, 1, pl.ds(row0, R1), :], win, dma_sem)
-                copy.start()
-                copy.wait()
-                ai = unpack_win(win[...])
+                ar = load_plane(pol, 0)
+                ai = load_plane(pol, 1)
                 sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
                 si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
             cr = sr * tr[...] - si * ti[...]
-            ci = sr * ti[...] + si * tr[...]
-            xr = dot00(cr, er[...]) - dot00(ci, ei[...])
-            xi = dot00(cr, ei[...]) + dot00(ci, er[...])
-            yr = xr * gr[...] - xi * gi[...]
-            yi = xr * gi[...] + xi * gr[...]
+            ci_ = sr * ti[...] + si * tr[...]
+            xr = dot00(cr, er[...]) - dot00(ci_, ei[...])
+            xi = dot00(cr, ei[...]) + dot00(ci_, er[...])
+            yr = xr * gr[0] - xi * gi[0]
+            yi = xr * gi[0] + xi * gr[0]
             e1r = mm(yr, mr[...]) - mm(yi, mi[...])
             e1i = mm(yr, mi[...]) + mm(yi, mr[...])
             c2r = e1r * ur[...] - e1i * ui[...]
@@ -672,34 +990,51 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             fi = dot00(c2r, vi[...]) + dot00(c2i, vr[...])
             pw = fr * fr + fi * fi
             if pol == 0:
-                out_ref[0, :, :] = pw
+                out_ref[0, 0, :, :] = pw
             else:
-                out_ref[0, :, :] = out_ref[0, :, :] + pw
+                out_ref[0, 0, :, :] = out_ref[0, 0, :, :] + pw
 
-    in_dtype = jnp.int8 if p.nbit == 8 else jnp.float32
+    in_dtype = jnp.int8 if p.nbit != 32 else jnp.float32
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # x
+    if has_lohi:
+        in_specs.append(pl.BlockSpec(
+            (1, npol, ndim, 2, totrows, p.nlev),
+            lambda c, w: (c, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM))
+    for name in ("w1r", "w1i", "tr", "ti", "er", "ei"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, R1, R2), lambda c, w: (c, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, R1, R2), lambda c, w: (c, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    for name in ("mr", "mi", "ur", "ui", "vr", "vi", "sel"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_lohi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    scratch_shapes = [
+        pltpu.VMEM((R1, p.row_len), in_dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(npart,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x rows
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(15)],
-        ],
-        out_specs=pl.BlockSpec((1, R2, R1), lambda w: (w, 0, 0),
+        grid=(nchan, npart),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, R2, R1), lambda c, w: (c, w, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((R1, p.row_len), in_dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
                    "mr", "mi", "ur", "ui", "vr", "vi", "sel")
     const_vals = [consts[n] for n in const_order]
+    if has_lohi:
+        const_vals.append(jnp.asarray(cst.expand))
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npart, R2, R1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nchan, npart, R2, R1), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
@@ -708,20 +1043,21 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
 
     @jax.jit
     def step(raw):
-        """raw uint8/f32 flat TFP bytes -> [nsub, 1, npart*nkeep]."""
-        if raw.dtype == jnp.uint8:
-            raw = jax.lax.bitcast_convert_type(raw, jnp.int8)
-        if p.real_input:
-            x = raw.reshape(-1, npol).T.reshape(npol, 1, totrows, p.row_len)
-        else:
-            x = jnp.transpose(raw.reshape(-1, npol, 2), (1, 2, 0))
-            x = x.reshape(npol, 2, totrows, R2)
-        P = call(x, *const_vals)  # [npart, R2, R1]
+        """raw uint8/f32 flat TFP bytes -> [nchan*nsub, 1, npart*nkeep]."""
+        if raw.dtype == jnp.uint8 and p.nbit == 32:
+            raw = jax.lax.bitcast_convert_type(
+                raw.reshape(-1, 4), jnp.float32).reshape(-1)
+        x, lohi, _ = _prepare_input(raw, p, npart, cst)
+        args = [x]
+        if has_lohi:
+            args.append(lohi)
+        args += const_vals
+        P = call(*args)  # [nchan, npart, R2, R1]
         # de-permute: row s*q + j1, col k2' -> time t = k2'*q + j1
-        P = P.reshape(npart, nsub, q, R1)
-        P = jnp.transpose(P, (1, 0, 3, 2))  # [nsub, npart, R1(k2'), q(j1)]
-        P = P.reshape(nsub, npart, p.freq_res)
+        P = P.reshape(nchan, npart, nsub, q, R1)
+        P = jnp.transpose(P, (0, 2, 1, 4, 3))  # [nchan, nsub, npart, R1, q]
+        P = P.reshape(nchan * nsub, npart, p.freq_res)
         P = P[:, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
-        return P.reshape(nsub, 1, npart * p.nkeep)
+        return P.reshape(nchan * nsub, 1, npart * p.nkeep)
 
     return step

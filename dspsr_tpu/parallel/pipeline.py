@@ -121,8 +121,10 @@ class ShardedFoldPipeline:
         nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
         if self.mega:
             self._profiles = jnp.zeros(
-                (inner.mega_plan.npol_out, nchan, inner.nbin), jnp.float32)
-            self._hits = jnp.zeros((1, inner.nbin), jnp.float32)
+                (inner.obs_in.nchan, inner.mega_plan.npol_out,
+                 inner.mega_plan.nsub, inner.nbin), jnp.float32)
+            self._hits = jnp.zeros((inner.obs_in.nchan, inner.nbin),
+                                   jnp.float32)
         else:
             self._profiles = jnp.zeros((nchan, npol, inner.nbin), jnp.float32)
             self._hits = jnp.zeros((nchan, inner.nbin), jnp.float32)
@@ -217,9 +219,11 @@ class ShardedFoldPipeline:
         prof = np.asarray(self._profiles)
         hits = np.asarray(self._hits)
         if self.mega:
-            prof = np.ascontiguousarray(prof.transpose(1, 0, 2))
-            hits = np.broadcast_to(
-                hits, (self.inner.obs_out.nchan, self.inner.nbin)).copy()
+            nsub = self.inner.mega_plan.nsub
+            prof = np.ascontiguousarray(
+                prof.transpose(0, 2, 1, 3).reshape(
+                    prof.shape[0] * nsub, prof.shape[1], self.inner.nbin))
+            hits = np.repeat(hits, nsub, axis=0)
         self._subints.append(
             (prof, hits, self._div_first_time or self._first_out_time,
              self._div_samples / self.inner.obs_out.rate))

@@ -76,8 +76,9 @@ def test_reference_matches_xla_ops(small_setup, npol_out, state):
         jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
         fold_plan)
     pf, ht = np.asarray(pf), np.asarray(ht)
-    assert np.abs(pr - pf).max() / np.abs(pf).max() < 2e-5
-    assert np.abs(hr - ht[0]).max() == 0
+    # reference layout: [nchan_in=1, npol_out, nsub, nbin]
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / np.abs(pf).max() < 2e-5
+    assert np.abs(hr[0] - ht[0]).max() == 0
 
 
 @pytest.mark.parametrize("npol_out", [1, 2, 4])
@@ -93,13 +94,13 @@ def test_pallas_matches_reference(small_setup, npol_out):
     cst = MegaConstants(plan, resp, dtype=np.float32,
                         unpack_scale=scale, unpack_offset=offset)
     step = build_megastep(plan, cst, NPART, interpret=True)
-    pk, hk = step(jnp.zeros((npol_out, NSUB, NBIN), jnp.float32),
+    pk, hk = step(jnp.zeros((1, npol_out, NSUB, NBIN), jnp.float32),
                   jnp.zeros((1, NBIN), jnp.float32),
                   jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
                   jnp.asarray(dphi, jnp.float32))
     pk, hk = np.asarray(pk), np.asarray(hk)
-    assert np.abs(pr.transpose(1, 0, 2) - pk).max() / np.abs(pr).max() < 2e-5
-    assert np.abs(hr - hk[0]).max() == 0
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
 
 
 # ---- pipeline wiring ----
@@ -161,8 +162,8 @@ def test_pipeline_mega_engages_and_matches_reference(tmp_path):
                         unpack_scale=scale, unpack_offset=offset)
     tsamp_out = 1.0 / pipe.obs_out.rate
     nuse = pipe.npart * plan.nkeep
-    prof = np.zeros((plan.nsub, 1, plan.nbin))
-    hits = np.zeros(plan.nbin)
+    prof = np.zeros((1, 1, plan.nsub, plan.nbin))
+    hits = np.zeros((1, plan.nbin))
     start = 0
     while start + pipe.block_in_samples <= src.total_samples:
         raw = src.read_samples(start, pipe.block_in_samples)
@@ -178,8 +179,9 @@ def test_pipeline_mega_engages_and_matches_reference(tmp_path):
 
     got = res.profiles[0]  # [nchan, npol, nbin]
     assert got.shape == (plan.nsub, 1, plan.nbin)
-    assert np.abs(got - prof).max() / np.abs(prof).max() < 2e-4
-    assert np.abs(res.hits[0][0] - hits).max() == 0
+    want = prof[0].transpose(1, 0, 2)  # [nsub, npol_out, nbin]
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
+    assert np.abs(res.hits[0][0] - hits[0]).max() == 0
     assert np.allclose(res.hits[0], res.hits[0][0:1])  # channel-uniform
 
 
@@ -242,7 +244,7 @@ def test_bf16_constants_close_to_f32(small_setup):
         cst = MegaConstants(plan, resp, dtype=dt,
                             unpack_scale=scale, unpack_offset=offset)
         step = build_megastep(plan, cst, NPART, interpret=True)
-        p, h = step(jnp.zeros((1, NSUB, NBIN), jnp.float32),
+        p, h = step(jnp.zeros((1, 1, NSUB, NBIN), jnp.float32),
                     jnp.zeros((1, NBIN), jnp.float32),
                     jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
                     jnp.asarray(dphi, jnp.float32))
@@ -300,8 +302,8 @@ def test_complex_reference_matches_xla_ops(complex_setup, npol_out, state):
         jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
         fold_plan)
     pf = np.asarray(pf)
-    assert np.abs(pr - pf).max() / np.abs(pf).max() < 2e-5
-    assert np.abs(hr - np.asarray(ht)[0]).max() == 0
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / np.abs(pf).max() < 2e-5
+    assert np.abs(hr[0] - np.asarray(ht)[0]).max() == 0
 
 
 def test_complex_pallas_matches_reference(complex_setup):
@@ -313,13 +315,13 @@ def test_complex_pallas_matches_reference(complex_setup):
     cst = MegaConstants(plan, resp, dtype=np.float32,
                         unpack_scale=scale, unpack_offset=offset)
     step = build_megastep(plan, cst, NPART, interpret=True)
-    pk, hk = step(jnp.zeros((1, NSUB, NBIN), jnp.float32),
+    pk, hk = step(jnp.zeros((1, 1, NSUB, NBIN), jnp.float32),
                   jnp.zeros((1, NBIN), jnp.float32),
                   jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
                   jnp.asarray(dphi, jnp.float32))
     pk, hk = np.asarray(pk), np.asarray(hk)
-    assert np.abs(pr.transpose(1, 0, 2) - pk).max() / np.abs(pr).max() < 2e-5
-    assert np.abs(hr - hk[0]).max() == 0
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
 
 
 def test_pipeline_complex_mega_vs_general(tmp_path, monkeypatch):
@@ -348,3 +350,317 @@ def test_pipeline_complex_mega_vs_general(tmp_path, monkeypatch):
     a = res["mega"].dedispersed()[0, :, 0, :]
     b = res["general"].dedispersed()[0, :, 0, :]
     assert (np.argmax(a, axis=1) == np.argmax(b, axis=1)).all()
+
+
+# ---- round-3 generality: multichannel input ----
+
+NCHAN_IN = 2
+
+
+@pytest.fixture(scope="module")
+def multichan_setup():
+    rng = np.random.default_rng(9)
+    fb0 = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                         freq_res=FREQ_RES, nfilt_pos=5, nfilt_neg=6)
+    plan = MegaPlan.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1,
+                                    nchan_in=NCHAN_IN)
+    assert plan is not None and plan.nchan_in == NCHAN_IN
+    fb = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    ndat = fb.block_ndat(NPART)
+    raw = rng.integers(0, 256, size=ndat * NCHAN_IN * NPOL * 2,
+                       dtype=np.uint8)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NCHAN_IN * NSUB, FREQ_RES)))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.011)
+    return plan, fb, raw, resp, phi0, dphi
+
+
+@pytest.mark.parametrize("npol_out,state", [
+    (1, Signal.INTENSITY), (4, Signal.STOKES)])
+def test_multichan_reference_matches_xla_ops(multichan_setup, npol_out, state):
+    """nchan_in > 1 (GUPPI RAW / VDIF class): each input channel runs its
+    own convolving filterbank with its own chirp slice."""
+    import dataclasses as dc
+
+    plan0, fb, raw, resp, phi0, dphi = multichan_setup
+    plan = dc.replace(plan0, npol_out=npol_out)
+    scale, offset = unpack_affine(8)
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst, phi0, dphi, NPART)
+
+    x = unpack_fixed(jnp.asarray(raw), 8, NCHAN_IN, NPOL, 2)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    y = filterbank_block(x, fb, NPART, (rr, ri))
+    d = np.asarray(detect(y, state))
+    nchan_out = NCHAN_IN * NSUB
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((nchan_out, npol_out, NBIN), jnp.float32),
+        jnp.zeros((nchan_out, NBIN), jnp.float32),
+        jnp.asarray(d),
+        jnp.ones((nchan_out, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf, ht = np.asarray(pf), np.asarray(ht)
+    want = pr.transpose(0, 2, 1, 3).reshape(nchan_out, npol_out, NBIN)
+    assert np.abs(want - pf).max() / np.abs(pf).max() < 2e-5
+    assert np.abs(np.repeat(hr, NSUB, axis=0) - ht).max() == 0
+
+
+def test_multichan_pallas_matches_reference(multichan_setup):
+    plan, fb, raw, resp, phi0, dphi = multichan_setup
+    scale, offset = unpack_affine(8)
+    cst64 = MegaConstants(plan, resp, dtype=np.float64,
+                          unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+    cst = MegaConstants(plan, resp, dtype=np.float32,
+                        unpack_scale=scale, unpack_offset=offset)
+    step = build_megastep(plan, cst, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((NCHAN_IN, 1, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((NCHAN_IN, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
+
+
+def test_pipeline_multichan_mega_vs_general(tmp_path, monkeypatch):
+    """A multi-channel complex 8-bit stream (GUPPI/VDIF shape) engages the
+    megakernel and matches the general XLA chain."""
+    import dataclasses
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+    from dspsr_tpu.timing.mjd import MJD
+
+    rng = np.random.default_rng(11)
+    obs = Observation(
+        nchan=2, npol=2, ndim=2, nbit=8, centre_frequency=1400.0,
+        bandwidth=-4.0, rate=RATE, start_time=MJD.from_utc(
+            "2010-04-13-02:05:45"),
+        state=Signal.ANALYTIC, source="FAKE", telescope="PKS",
+        instrument="RAW")
+    period = 0.005
+    ndat = 1 << 15
+    # injected pulse: amplitude-modulated noise so both engines must
+    # recover the same phase peak (geometry differs by rounded overlap, so
+    # pure-noise profiles would not be comparable)
+    t = np.arange(ndat) / RATE
+    amp = np.where((t % period) < 0.05 * period, 80.0, 10.0)
+    v = rng.normal(0, 1, (ndat, 2, 2, 2)) * amp[:, None, None, None]
+    q = np.clip(np.round(v + 127.5), 0, 255).astype(np.uint8)
+    path = str(tmp_path / "mc.raw")
+    with open(path, "wb") as f:
+        f.write(q.reshape(-1).tobytes())
+    cfg = _config(nchan=8, folding_period=period)  # 4 subbands per chan
+    res = {}
+    for tag, off in (("mega", False), ("general", True)):
+        if off:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        pipe = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert (pipe.mega_plan is not None) == (not off)
+        if pipe.mega_plan is not None:
+            assert pipe.mega_plan.nchan_in == 2
+        res[tag] = pipe.run()
+    a, b = res["mega"], res["general"]
+    assert a.profiles.shape == b.profiles.shape
+    pa = a.dedispersed()[0, :, 0, :]
+    pb = b.dedispersed()[0, :, 0, :]
+    for p in (pa, pb):
+        snr = (p.max(axis=1) - p.mean(axis=1)) / (p.std(axis=1) + 1e-30)
+        assert (snr > 1.5).all()
+    # the engines integrate slightly different data spans (rounded
+    # overlap), so allow one bin of circular peak jitter; exact numerical
+    # parity on identical geometry is proven by the block-level tests
+    nbin = pa.shape[1]
+    d = (np.argmax(pa, axis=1) - np.argmax(pb, axis=1)) % nbin
+    d = np.minimum(d, nbin - d)
+    assert (d <= 1).all(), d
+
+
+# ---- round-3 generality: 2-bit JA98 in-kernel unpack + excision ----
+
+
+def _twobit_bytes(rng, nbytes, rfi=None):
+    codes = rng.choice(4, size=nbytes * 4,
+                       p=[0.1615, 0.3385, 0.3385, 0.1615]).astype(np.uint8)
+    if rfi is not None:
+        codes[rfi[0]:rfi[1]] = 3  # saturated stretch -> excised
+    c = codes.reshape(-1, 4)
+    return ((c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+            ).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def twobit_setup():
+    from dspsr_tpu.unpack.twobit import TwoBitCorrection
+
+    rng = np.random.default_rng(21)
+    fb0 = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                         freq_res=FREQ_RES, nfilt_pos=5, nfilt_neg=6)
+    npw = 16  # must divide row_len (= R2 = 16 at this geometry)
+    plan = MegaPlan.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1,
+                                    nbit=2, ndat_per_weight=npw)
+    assert plan is not None and plan.npw == npw
+    ndat = plan.block_ndat(NPART)
+    raw = _twobit_bytes(rng, ndat * NPOL * 2 // 4,
+                        rfi=(ndat // 3, ndat // 3 + 5 * npw))
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.019)
+    tb = TwoBitCorrection(ndat_per_weight=npw)
+    return plan, raw, resp, phi0, dphi, tb
+
+
+def test_twobit_reference_matches_xla_chain(twobit_setup):
+    """The f64 reference's in-kernel JA98 levels + per-window excision
+    weights equal the XLA chain (unpack_twobit_dynamic + conservative
+    window weights + weighted fold)."""
+    from dspsr_tpu.unpack.unpackers import unpack_twobit_dynamic
+
+    plan, raw, resp, phi0, dphi, tb = twobit_setup
+    cst = MegaConstants(plan, resp, dtype=np.float64, twobit=tb)
+    pr, hr = mega_reference(raw, plan, cst, phi0, dphi, NPART)
+
+    fb = FilterbankPlan(real_input=False, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    x, w = unpack_twobit_dynamic(
+        jnp.asarray(raw), jnp.asarray(tb.level_tables[0]),
+        jnp.asarray(tb.level_tables[1]), jnp.asarray(tb.weight_table),
+        1, NPOL, 2, plan.npw)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    y = filterbank_block(x, fb, NPART, (rr, ri))
+    d = np.asarray(detect(y, Signal.INTENSITY))
+    # conservative per-window weights (the _stream_weights rule)
+    from dspsr_tpu.ops.megakernel import window_weight_spans
+
+    w = np.asarray(w)  # [1, nweights]
+    wwin = np.array([w[0, a:b].min()
+                     for a, b in window_weight_spans(plan, NPART)])
+    weights = np.repeat(wwin, plan.nkeep)[None, :].repeat(NSUB, axis=0)
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, 1, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32),
+        jnp.asarray(d), jnp.asarray(weights, jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf, ht = np.asarray(pf), np.asarray(ht)
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / \
+        (np.abs(pf).max() + 1e-30) < 2e-5
+    assert np.abs(np.repeat(hr, NSUB, axis=0) - ht).max() == 0
+    # the saturated stretch actually excised something
+    assert wwin.min() == 0.0 and wwin.max() == 1.0
+
+
+def test_twobit_pallas_matches_reference(twobit_setup):
+    plan, raw, resp, phi0, dphi, tb = twobit_setup
+    cst64 = MegaConstants(plan, resp, dtype=np.float64, twobit=tb)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+    cst = MegaConstants(plan, resp, dtype=np.float32, twobit=tb)
+    step = build_megastep(plan, cst, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((1, 1, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
+
+
+def test_pipeline_twobit_mega_vs_general(tmp_path, monkeypatch):
+    """End-to-end: a 2-bit analytic stream with a saturated RFI stretch
+    engages the fused JA98 path and matches the general XLA chain —
+    profiles, per-channel hits AND excision behaviour."""
+    import dataclasses
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+    from dspsr_tpu.timing.mjd import MJD
+
+    rng = np.random.default_rng(31)
+    obs = Observation(
+        nchan=1, npol=2, ndim=2, nbit=2, centre_frequency=1400.0,
+        bandwidth=-1.0, rate=RATE, start_time=MJD.from_utc(
+            "2010-04-13-02:05:45"),
+        state=Signal.ANALYTIC, source="FAKE", telescope="PKS",
+        instrument="RAW")
+    nsamp = 1 << 16
+    raw = _twobit_bytes(rng, nsamp, rfi=(40000, 40000 + 4096))
+    path = str(tmp_path / "tb.raw")
+    with open(path, "wb") as f:
+        f.write(raw.tobytes())
+    # DM=0: zero overlap -> no nfilt rounding -> the mega and general
+    # engines integrate EXACTLY the same data, so parity is numerical.
+    # n_fft 4096, R1 64, R2 64, row_len 64; npw=64 divides it -> fused
+    # JA98 path eligible
+    cfg = _config(ndat_per_weight=64, min_block_samples=8192,
+                  frequency_resolution=1024, dispersion_measure=0.0)
+    res = {}
+    for tag, off in (("mega", False), ("general", True)):
+        if off:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        pipe = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert (pipe.mega_plan is not None) == (not off), tag
+        if pipe.mega_plan is not None:
+            assert pipe.mega_plan.npw == 64
+        res[tag] = pipe.run()
+    a, b = res["mega"], res["general"]
+    assert a.profiles.shape == b.profiles.shape
+    # excision visible: some phase bins lost hits in both engines, and the
+    # per-channel hit TOTALS (sum of window weights x nkeep) match exactly
+    # — the in-kernel JA98 weights equal the XLA-chain weights
+    assert a.hits.min() < a.hits.max()
+    np.testing.assert_allclose(a.hits.sum(axis=(0, 2)),
+                               b.hits.sum(axis=(0, 2)), rtol=0, atol=0)
+    # profiles agree up to f32 bin-boundary jitter (different phase-anchor
+    # segmenting moves O(few) samples between adjacent bins)
+    pa = a.normalized()
+    pb = b.normalized()
+    scale = np.abs(pb).max()
+    assert np.abs(pa - pb).max() / scale < 0.05
+    corr = [np.corrcoef(pa[0, c, 0], pb[0, c, 0])[0, 1]
+            for c in range(pa.shape[1])]
+    assert min(corr) > 0.98, corr
+
+
+# ---- round-3 generality: external per-window weight operand ----
+
+
+def test_external_weights_reach_fused_fold(small_setup):
+    """SK/RFI masks computed outside the kernel zero their windows in both
+    profiles and hits (verdict r2 item 1c)."""
+    plan0, fb, raw, resp, phi0, dphi = small_setup
+    plan = MegaPlan(nsub=NSUB, freq_res=FREQ_RES, R1=plan0.R1,
+                    nfilt_pos=plan0.nfilt_pos, nfilt_neg=plan0.nfilt_neg,
+                    nbin=NBIN, npol=NPOL, npol_out=1)
+    scale, offset = unpack_affine(8)
+    wext = np.array([[1.0, 0.0, 1.0]])  # kill window 1
+    cst64 = MegaConstants(plan, resp, dtype=np.float64,
+                          unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART,
+                            ext_weights=wext)
+    pr_all, hr_all = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+    assert hr.sum() < hr_all.sum()
+
+    cst = MegaConstants(plan, resp, dtype=np.float32,
+                        unpack_scale=scale, unpack_offset=offset)
+    step = build_megastep(plan, cst, NPART, interpret=True,
+                          external_weights=True)
+    pk, hk = step(jnp.zeros((1, 1, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32),
+                  jnp.asarray(wext, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
