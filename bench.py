@@ -1,21 +1,40 @@
-"""Benchmark: flagship fold pipeline throughput on one chip.
+"""Benchmark matrix: fold/search pipeline throughput on one chip.
 
-Reproduces the reference's headline benchmark configuration
+The headline reproduces the reference's benchmark configuration
 (``Benchmark/fold.csh`` + ``Benchmark/fold_header.dada``: 8-bit dual-pol
 real-sampled 400 MHz CASPSR baseband of J0437-4715, coherent dedispersion +
-fold) as the TPU convolving-filterbank pipeline: device-side 8-bit unpack ->
-64-channel convolving filterbank (chirp inside the big FFT) -> square-law
-detection -> 1024-bin fold.  The pipeline engages the fused Pallas
+fold) as the TPU convolving-filterbank pipeline running the fused Pallas
 megakernel (ops.megakernel) — one device program per block.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is the MEDIAN over DSPSR_TPU_BENCH_REPS repetitions of Msamples/s/chip of
-raw input consumed, and vs_baseline is the real-time ratio (throughput /
-800 Msamp/s, the CASPSR sampling rate) — the reference's own figure of merit
-(wall time vs real time, ``fold.csh:33-36``).  The spread (min/max across
-repetitions) rides along for run-to-run stability tracking.
+Beyond the headline, a CONFIGURATION MATRIX measures every execution path
+(the reference benchmarks a sweep, ``Benchmark/bench.csh``,
+``Signal/General/filterbank_speed.C:189-221``):
+
+- ``mega_real_8bit``      the flagship fused kernel (headline)
+- ``mega_analytic_8bit``  complex (VDIF/GUPPI-class) baseband, fused
+- ``mega_guppi_2bit``     32-channel 2-bit GUPPI-like data: in-kernel JA98
+                          dynamic-level unpack + excision weights, fused
+- ``mega_bf16``           the fused kernel with bf16 stage constants
+- ``xla_general``         the general XLA op chain on the flagship
+                          geometry (every megakernel-ineligible config
+                          runs this path)
+- ``xla_sk_weights``      XLA chain + spectral kurtosis RFI excision
+- ``megafil_search``      the fused search-mode front end (digifil)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"matrix": {tag: {...}}} where value is the MEDIAN over
+DSPSR_TPU_BENCH_REPS repetitions of Msamples/s/chip of raw input consumed,
+and vs_baseline is the real-time ratio (throughput / 800 Msamp/s, the
+CASPSR sampling rate) — the reference's own figure of merit (wall time vs
+real time, ``fold.csh:33-36``).  Every matrix entry carries per-rep
+times (run-to-run spread through the shared tunnel is real; see PERF.md).
+
+Env knobs: DSPSR_TPU_BENCH_REPS (5), DSPSR_TPU_BENCH_NBLOCKS (6),
+DSPSR_TPU_BENCH_BLOCK (1<<25), DSPSR_TPU_BENCH_FEED (device|h2d),
+DSPSR_TPU_BENCH_MATRIX (1; 0 = headline only).
 """
 
+import dataclasses
 import json
 import os
 import statistics
@@ -25,73 +44,76 @@ import time
 import numpy as np
 
 
-def main():
-    from dspsr_tpu.utils.platform import enable_compilation_cache
-    cache_dir = enable_compilation_cache()
-
-    import jax
-    import jax.numpy as jnp
+def _make_obs(nchan=1, npol=2, ndim=1, nbit=8, rate=800e6, bw=-400.0):
     from dspsr_tpu.observation import Observation, Signal
     from dspsr_tpu.timing.mjd import MJD
-    from dspsr_tpu.io.sources import DummySource
-    from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+
+    return Observation(
+        nchan=nchan, npol=npol, ndim=ndim, nbit=nbit,
+        centre_frequency=1382.0, bandwidth=bw, rate=rate,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=(Signal.NYQUIST if ndim == 1 else Signal.ANALYTIC),
+        source="J0437-4715", telescope="PKS", instrument="DUMMY",
+    ).replace(ndat=1 << 40)
+
+
+def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
+    """Build a FoldPipeline and measure raw-input Msamples/s/chip.
+
+    ``env``: temporary os.environ overrides during pipeline construction
+    (e.g. DSPSR_TPU_NO_MEGA, DSPSR_TPU_MEGA_DTYPE).
+    """
+    import jax
+    import jax.numpy as jnp
+    from dspsr_tpu.io.sources import DummySource, device_noise_bytes
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
     from dspsr_tpu.ops.fold import compute_anchors
 
-    rate = 800e6
-    obs = Observation(
-        nchan=1, npol=2, ndim=1, nbit=8,
-        centre_frequency=1382.0, bandwidth=-400.0, rate=rate,
-        start_time=MJD.from_utc("2010-04-13-02:05:45"),
-        state=Signal.NYQUIST, source="J0437-4715",
-        telescope="PKS", instrument="DUMMY",
-    )
-    obs = obs.replace(ndat=1 << 40)
-    src = DummySource(obs)
-    # the execution backend charges a near-flat cost per program execution
-    # (PERF.md): throughput scales with block size until memory limits
-    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 25))
-    cfg = FoldConfig(
-        polyco_path="/root/reference/Benchmark/polyco.dat",
-        dispersion_measure=2.64,
-        nchan=64,
-        nbin=1024,
-        block_parts=8,
-        npol_out=1,
-        min_block_samples=min_block,
-    )
-    pipe = FoldPipeline(src, cfg)
+    saved = {}
+    env = env or {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    try:
+        src = DummySource(obs)
+        pipe = FoldPipeline(src, cfg)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
-    block = pipe.block_in_samples
     stride = pipe.stride_in_samples
     tsamp_out = 1.0 / pipe.obs_out.rate
-    nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) * pipe.fold_plan.seg_len
+    nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) \
+        * pipe.fold_plan.seg_len
+    raw_np = src.read_samples(0, pipe.block_in_samples)
+    nbytes = raw_np.size
 
-    # pre-generate host bytes once (we benchmark the device pipeline +
-    # host->device transfer, not synthetic byte generation)
-    raw_np = src.read_samples(0, block)
-
-    def fresh_acc():
-        if pipe.mega_plan is not None:
-            return (jnp.zeros((obs.nchan, pipe.mega_plan.npol_out,
-                               pipe.mega_plan.nsub, pipe.nbin), jnp.float32),
-                    jnp.zeros((obs.nchan, pipe.nbin), jnp.float32))
-        return (jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol, pipe.nbin),
-                          jnp.float32),
-                jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32))
-
-    base_step = pipe._megastep if pipe.mega_plan is not None else pipe._step
+    if pipe.mega_plan is not None:
+        mp = pipe.mega_plan
+        profiles = jnp.zeros((obs.nchan, mp.npol_out, mp.nsub, pipe.nbin),
+                             jnp.float32)
+        hits = jnp.zeros((obs.nchan, pipe.nbin), jnp.float32)
+        base_step = pipe._megastep
+    else:
+        profiles = jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol,
+                              pipe.nbin), jnp.float32)
+        hits = jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32)
+        base_step = pipe._step
 
     # Two feed modes (the reference benchmarks read fake data from RAM via
     # DummyFile — loading is outside the measured DSP cost):
-    #  - "device" (default): the DummyFile byte stream is generated on device
-    #    inside the same jit program — measures the chip's pipeline rate.
-    #  - "h2d": bytes are shipped through this environment's host->device
-    #    path each block (a shared debug tunnel at ~0.1 GB/s, NOT a
-    #    production data path; see PERF.md).  Reported alongside either way.
-    from dspsr_tpu.io.sources import device_noise_bytes
-
-    nbytes = raw_np.size
-
+    #  - "device" (default): the DummyFile byte stream is generated on
+    #    device inside the same jit program — measures the chip's pipeline
+    #    rate.
+    #  - "h2d": bytes ship through this environment's host->device path
+    #    each block (a shared debug tunnel at ~0.1-1 GB/s, NOT a production
+    #    data path; see PERF.md).
     @jax.jit
     def devgen_step(profiles, hits, start_byte, phi0, dphi):
         raw = device_noise_bytes(start_byte, nbytes)
@@ -102,8 +124,6 @@ def main():
         return compute_anchors(pipe.predictor, t0, tsamp_out, nuse,
                                pipe.fold_plan.seg_len)
 
-    feed = os.environ.get("DSPSR_TPU_BENCH_FEED", "device")
-
     def run_block(profiles, hits, b):
         phi0, dphi = anchors(b)
         if feed == "device":
@@ -112,60 +132,195 @@ def main():
         return base_step(profiles, hits, jnp.asarray(raw_np),
                          jnp.asarray(phi0), jnp.asarray(dphi))
 
-    # warmup / compile
-    profiles, hits = fresh_acc()
     t_c0 = time.perf_counter()
     profiles, hits = run_block(profiles, hits, 0)
     np.asarray(hits[:1, :1])  # hard sync
     compile_s = time.perf_counter() - t_c0
 
-    reps = int(os.environ.get("DSPSR_TPU_BENCH_REPS", 5))
-    nblocks = int(os.environ.get("DSPSR_TPU_BENCH_NBLOCKS", 6))
-    results = []
+    per_rep = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for b in range(nblocks):
             profiles, hits = run_block(profiles, hits, b)
         np.asarray(hits[:1, :1])
         dt = time.perf_counter() - t0
-        results.append(nblocks * stride / dt / 1e6)
+        per_rep.append(round(nblocks * stride / dt / 1e6, 2))
 
-    # side measurement: the tunnel-fed rate (1 rep, 2 blocks)
-    h2d_msps = None
+    out = {
+        "msps": statistics.median(per_rep),
+        "per_rep_msps": per_rep,
+        "compile_s": round(compile_s, 1),
+        "engine": "megakernel" if pipe.mega_plan is not None else "xla",
+        "block_samples": stride,
+        "block_bytes": int(nbytes),
+        "nchan_out": pipe.obs_out.nchan,
+        "nbin": pipe.nbin,
+    }
+    # side measurement for the headline: the tunnel-fed rate (2 blocks)
     if feed == "device":
-        profiles2, hits2 = fresh_acc()
         phi0, dphi = anchors(0)
-        profiles2, hits2 = base_step(profiles2, hits2, jnp.asarray(raw_np),
-                                     jnp.asarray(phi0), jnp.asarray(dphi))
-        np.asarray(hits2[:1, :1])
+        p2 = jnp.zeros_like(profiles)
+        h2 = jnp.zeros_like(hits)
+        p2, h2 = base_step(p2, h2, jnp.asarray(raw_np),
+                           jnp.asarray(phi0), jnp.asarray(dphi))
+        np.asarray(h2[:1, :1])
         t0 = time.perf_counter()
         for b in range(2):
             phi0, dphi = anchors(b)
-            profiles2, hits2 = base_step(
-                profiles2, hits2, jnp.asarray(raw_np),
-                jnp.asarray(phi0), jnp.asarray(dphi))
-        np.asarray(hits2[:1, :1])
-        h2d_msps = 2 * stride / (time.perf_counter() - t0) / 1e6
+            p2, h2 = base_step(p2, h2, jnp.asarray(raw_np),
+                               jnp.asarray(phi0), jnp.asarray(dphi))
+        np.asarray(h2[:1, :1])
+        out["h2d_fed_msps"] = round(
+            2 * stride / (time.perf_counter() - t0) / 1e6, 2)
+    return out
 
-    msps = statistics.median(results)
-    realtime_ratio = msps * 1e6 / rate
 
+def bench_megafil(obs, cfg, reps, nblocks):
+    """Search-mode fused front end (digifil hot path) throughput."""
+    import jax
+    import jax.numpy as jnp
+    from dspsr_tpu.io.sources import DummySource, device_noise_bytes
+    from dspsr_tpu.models.load_to_fil import FilPipeline
+
+    src = DummySource(obs)
+    pipe = FilPipeline(src, cfg)
+    if pipe._megafil is None:
+        return {"error": "megafil did not engage"}
+    stride = pipe.stride_in_samples
+    raw_np = src.read_samples(0, pipe.block_in_samples)
+    nbytes = raw_np.size
+
+    @jax.jit
+    def devgen(start_byte):
+        raw = device_noise_bytes(start_byte, nbytes)
+        d = pipe._megafil(raw)
+        # reduce on device so only a tiny result crosses the tunnel
+        return jnp.sum(d[:, :, -1])
+
+    t0 = time.perf_counter()
+    np.asarray(devgen(jnp.uint32(0)))
+    compile_s = time.perf_counter() - t0
+    per_rep = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for b in range(nblocks):
+            acc = acc + devgen(jnp.uint32(b * nbytes))
+        np.asarray(acc)
+        per_rep.append(round(nblocks * stride / (time.perf_counter() - t0) / 1e6, 2))
+    return {
+        "msps": statistics.median(per_rep),
+        "per_rep_msps": per_rep,
+        "compile_s": round(compile_s, 1),
+        "engine": "megafil",
+        "block_samples": stride,
+        "nchan_out": pipe.obs_out.nchan,
+    }
+
+
+def main():
+    from dspsr_tpu.utils.platform import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+
+    from dspsr_tpu.models.load_to_fold import FoldConfig
+    from dspsr_tpu.models.load_to_fil import FilConfig
+
+    rate = 800e6
+    # the execution backend charges a near-flat cost per program execution
+    # (PERF.md): throughput scales with block size until memory limits
+    min_block = int(os.environ.get("DSPSR_TPU_BENCH_BLOCK", 1 << 25))
+    reps = int(os.environ.get("DSPSR_TPU_BENCH_REPS", 5))
+    nblocks = int(os.environ.get("DSPSR_TPU_BENCH_NBLOCKS", 6))
+    feed = os.environ.get("DSPSR_TPU_BENCH_FEED", "device")
+    do_matrix = os.environ.get("DSPSR_TPU_BENCH_MATRIX", "1") != "0"
+
+    flagship = FoldConfig(
+        polyco_path="/root/reference/Benchmark/polyco.dat",
+        dispersion_measure=2.64,
+        nchan=64,
+        nbin=1024,
+        block_parts=8,
+        npol_out=1,
+        min_block_samples=min_block,
+    )
+    obs_real = _make_obs()
+
+    # ---- headline: flagship megakernel ----
+    head = bench_fold(obs_real, flagship, reps, nblocks, feed=feed)
+
+    matrix = {"mega_real_8bit": head}
+    if do_matrix:
+        def safe(tag, fn, *a, **kw):
+            try:
+                matrix[tag] = fn(*a, **kw)
+            except Exception as e:  # record, don't abort the bench
+                matrix[tag] = {"error": f"{type(e).__name__}: {e}"}
+
+        # complex (analytic) baseband, same band: 400 Msamp/s complex
+        obs_cplx = _make_obs(ndim=2, rate=400e6)
+        safe("mega_analytic_8bit", bench_fold, obs_cplx,
+             dataclasses.replace(flagship, min_block_samples=min_block // 2),
+             max(reps - 2, 3), nblocks, feed)
+
+        # GUPPI-like: 32 coarse channels, 2-bit complex dual-pol, in-kernel
+        # JA98 unpack + excision weights (per-chan 64 subbands -> 2048 out)
+        obs_g = _make_obs(nchan=32, ndim=2, nbit=2, rate=12.5e6, bw=-400.0)
+        # freq_res 2048 -> per-chan n_fft 131072, R1 512, row_len 256;
+        # npw=256 divides it (the JA98 fused-path requirement); 16 windows
+        # per block amortize the ~35 ms dispatch (PERF.md cost model)
+        cfg_g = dataclasses.replace(
+            flagship, nchan=2048, dispersion_measure=71.0,
+            frequency_resolution=2048, ndat_per_weight=256, block_parts=16,
+            min_block_samples=0, nbin=1024)
+        safe("mega_guppi_2bit", bench_fold, obs_g, cfg_g,
+             max(reps - 2, 3), max(nblocks // 2, 2), feed)
+
+        # bf16 stage constants (VERDICT r2 #9: measure on the real chip)
+        safe("mega_bf16", bench_fold, obs_real, flagship,
+             max(reps - 2, 3), nblocks, feed,
+             env={"DSPSR_TPU_MEGA_DTYPE": "bf16"})
+
+        # the general XLA op chain — the fallback every ineligible config
+        # runs (VERDICT r2 weak #1).  Smaller blocks: the XLA chain
+        # materializes framed f32 windows + spectra, so flagship-size
+        # blocks exceed HBM (the megakernel never materializes them)
+        safe("xla_general", bench_fold, obs_real,
+             dataclasses.replace(flagship,
+                                 min_block_samples=min(min_block, 1 << 23)),
+             max(reps - 2, 3), max(nblocks // 2, 2), feed,
+             env={"DSPSR_TPU_NO_MEGA": "1"})
+
+        # XLA chain + spectral kurtosis excision (weights threading)
+        safe("xla_sk_weights", bench_fold, obs_real,
+             dataclasses.replace(flagship, sk_enable=True, sk_m=1024,
+                                 min_block_samples=min_block // 4),
+             max(reps - 2, 3), max(nblocks // 2, 2), feed,
+             env={"DSPSR_TPU_NO_MEGA": "1"})
+
+        # fused search-mode front end (digifil)
+        fil_cfg = FilConfig(nchan=64, dispersion_measure=2.64, nbits=8,
+                            min_block_samples=min_block, block_parts=8)
+        safe("megafil_search", bench_megafil, obs_real, fil_cfg,
+             max(reps - 2, 3), nblocks)
+
+    msps = head["msps"]
     out = {
         "metric": "fold_pipeline_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(realtime_ratio, 4),
-        "spread_min": round(min(results), 2),
-        "spread_max": round(max(results), 2),
+        "vs_baseline": round(msps * 1e6 / rate, 4),
+        "spread_min": min(head["per_rep_msps"]),
+        "spread_max": max(head["per_rep_msps"]),
         "reps": reps,
-        "block_samples": stride,
+        "block_samples": head["block_samples"],
         "feed": feed,
-        "engine": "megakernel" if pipe.mega_plan is not None else "xla",
-        "compile_s": round(compile_s, 1),
+        "engine": head["engine"],
+        "compile_s": head["compile_s"],
         "compile_cache": bool(cache_dir),
+        "matrix": matrix,
     }
-    if h2d_msps is not None:
-        out["h2d_fed_msps"] = round(h2d_msps, 2)
+    if "h2d_fed_msps" in head:
+        out["h2d_fed_msps"] = head["h2d_fed_msps"]
     print(json.dumps(out))
 
 

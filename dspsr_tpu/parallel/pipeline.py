@@ -59,10 +59,18 @@ class ShardedFoldPipeline:
         result = pipe.run()          # FoldResult, same as FoldPipeline.run()
     """
 
-    def __init__(self, source: Source, config: FoldConfig, mesh: Mesh):
+    def __init__(self, source: Source, config: FoldConfig, mesh: Mesh,
+                 distributed: bool = False):
+        """``distributed=True``: the mesh spans multiple jax processes
+        (``jax.distributed.initialize`` must have run).  Each process then
+        reads ONLY the stripes whose time shards it hosts — the disjoint
+        multi-host striping that replaces the reference's MPIRoot raw-block
+        scatter (``Kernel/Classes/MPIRoot.C:318-472``) — and global device
+        arrays are assembled with ``jax.make_array_from_callback``."""
         if "time" not in mesh.shape or "chan" not in mesh.shape:
             raise ValueError("mesh needs ('time', 'chan') axes")
         self.mesh = mesh
+        self.distributed = bool(distributed)
         self.n_time = mesh.shape["time"]
         self.n_chan = mesh.shape["chan"]
         # the inner single-shard pipeline: identical construction.  When
@@ -120,14 +128,17 @@ class ShardedFoldPipeline:
         self._step = self._build_step()
         nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
         if self.mega:
-            self._profiles = jnp.zeros(
+            self._profiles = self._commit(np.zeros(
                 (inner.obs_in.nchan, inner.mega_plan.npol_out,
-                 inner.mega_plan.nsub, inner.nbin), jnp.float32)
-            self._hits = jnp.zeros((inner.obs_in.nchan, inner.nbin),
-                                   jnp.float32)
+                 inner.mega_plan.nsub, inner.nbin), np.float32), P("chan"))
+            self._hits = self._commit(
+                np.zeros((inner.obs_in.nchan, inner.nbin), np.float32),
+                P("chan"))
         else:
-            self._profiles = jnp.zeros((nchan, npol, inner.nbin), jnp.float32)
-            self._hits = jnp.zeros((nchan, inner.nbin), jnp.float32)
+            self._profiles = self._commit(
+                np.zeros((nchan, npol, inner.nbin), np.float32), P("chan"))
+            self._hits = self._commit(
+                np.zeros((nchan, inner.nbin), np.float32), P("chan"))
         self._subints = []
         self._current_div = 0
         self._div_samples = 0.0
@@ -181,6 +192,39 @@ class ShardedFoldPipeline:
         )
         return jax.jit(sm, donate_argnums=(0, 1))
 
+    # ---- distributed-array plumbing (multi-process meshes) ----
+
+    def _commit(self, np_arr: np.ndarray, spec: P):
+        """Host array -> device array committed to the mesh sharding.
+
+        Single-process: a plain transfer.  Multi-process: a global array
+        assembled from each process's addressable shards
+        (``jax.make_array_from_callback`` only invokes the callback for
+        local shards, so non-local data is never touched)."""
+        if not self.distributed:
+            return jnp.asarray(np_arr)
+        from jax.sharding import NamedSharding
+
+        return jax.make_array_from_callback(
+            np_arr.shape, NamedSharding(self.mesh, spec),
+            lambda idx: np.ascontiguousarray(np_arr[idx]))
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Device array -> host numpy on EVERY process (allgather when the
+        mesh spans processes and the array is not fully replicated)."""
+        if not self.distributed or arr.is_fully_replicated:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+    def local_time_shards(self) -> list:
+        """Time-shard indices whose devices this process hosts (in the
+        single-process case: all of them)."""
+        me = jax.process_index()
+        return [t for t in range(self.n_time)
+                if any(d.process_index == me for d in self.mesh.devices[t])]
+
     # ---- host streaming loop ----
 
     def host_stripe_layout(self, sb_start: int):
@@ -193,11 +237,20 @@ class ShardedFoldPipeline:
         return stripes, tail
 
     def _read_superblock(self, sb_start: int):
+        """Read this superblock's stripes.  In distributed mode only the
+        stripes hosted by THIS process touch the disk (disjoint multi-host
+        striping, the MPIRoot-scatter replacement); remote rows stay zero
+        and are never shipped (``_commit`` reads local shards only)."""
         src = self.source
         stripes, tail = self.host_stripe_layout(sb_start)
-        rows = np.stack([src.read_samples(s, n) for (s, n) in stripes])
+        local = set(self.local_time_shards()) if self.distributed \
+            else set(range(self.n_time))
+        rows = np.zeros((self.n_time, self.stride_bytes), np.uint8)
+        for i, (s, n) in enumerate(stripes):
+            if i in local:
+                rows[i] = src.read_samples(s, n)
         tail_rows = np.zeros((self.n_time, self.halo_bytes), np.uint8)
-        if self.halo_bytes:
+        if self.halo_bytes and (self.n_time - 1) in local:
             tail_rows[-1] = src.read_samples(*tail)
         return rows, tail_rows
 
@@ -216,8 +269,8 @@ class ShardedFoldPipeline:
     def _flush_division(self):
         if self._div_samples == 0:
             return
-        prof = np.asarray(self._profiles)
-        hits = np.asarray(self._hits)
+        prof = self._fetch(self._profiles)
+        hits = self._fetch(self._hits)
         if self.mega:
             nsub = self.inner.mega_plan.nsub
             prof = np.ascontiguousarray(
@@ -262,14 +315,25 @@ class ShardedFoldPipeline:
             rows, tail_rows = self._read_superblock(start)
             if cfg.digitizer_stats and inner.obs_in.nbit <= 8:
                 # count per-shard stride + halo, matching the single-pipeline
-                # semantics where overlap bytes are re-unpacked per block
-                self._byte_counts += np.bincount(rows.reshape(-1),
-                                                 minlength=256)
+                # semantics where overlap bytes are re-unpacked per block.
+                # Distributed: each process counts its local stripes; the
+                # totals are summed across processes at finish.  A stripe's
+                # halo comes from the NEXT stripe's head, which may live on
+                # another process — count it there instead (same total).
+                local = set(self.local_time_shards()) if self.distributed \
+                    else set(range(self.n_time))
+                for i in local:
+                    self._byte_counts += np.bincount(rows[i], minlength=256)
                 for i in range(self.n_time):
-                    if self.halo_bytes:
-                        halo = (tail_rows[-1] if i == self.n_time - 1
-                                else rows[i + 1][: self.halo_bytes])
-                        self._byte_counts += np.bincount(halo, minlength=256)
+                    if not self.halo_bytes:
+                        continue
+                    if i == self.n_time - 1:
+                        if i in local:
+                            self._byte_counts += np.bincount(
+                                tail_rows[-1], minlength=256)
+                    elif (i + 1) in local:
+                        self._byte_counts += np.bincount(
+                            rows[i + 1][: self.halo_bytes], minlength=256)
             phi0 = np.empty((self.n_time, nseg), np.float32)
             dphi = np.empty((self.n_time, nseg), np.float32)
             for i, t0 in enumerate(t0s):
@@ -279,8 +343,11 @@ class ShardedFoldPipeline:
                 dphi[i] = dp
 
             self._profiles, self._hits = self._step(
-                self._profiles, self._hits, jnp.asarray(rows),
-                jnp.asarray(tail_rows), jnp.asarray(phi0), jnp.asarray(dphi))
+                self._profiles, self._hits,
+                self._commit(rows, P("time")),
+                self._commit(tail_rows, P("time")),
+                self._commit(phi0, P("time")),
+                self._commit(dphi, P("time")))
 
             if self._first_out_time is None:
                 self._first_out_time = t0s[0]
@@ -298,6 +365,17 @@ class ShardedFoldPipeline:
 
     def _finish(self) -> FoldResult:
         inner = self.inner
+        # NOTE: collectives must run on EVERY process (process-independent
+        # condition), so gate on config only — never on local data
+        if self.distributed and self.config.digitizer_stats \
+                and inner.obs_in.nbit <= 8:
+            # each process counted only its local stripes: sum them
+            from jax.experimental import multihost_utils
+
+            stacked = multihost_utils.process_allgather(
+                self._byte_counts, tiled=False)
+            self._byte_counts = np.asarray(stacked).reshape(
+                -1, 256).sum(axis=0)
         if self._subints:
             profs = np.stack([s[0] for s in self._subints])
             hits = np.stack([s[1] for s in self._subints])
