@@ -154,7 +154,7 @@ class ShardedFoldPipeline:
         n_time, n_chan = self.n_time, self.n_chan
         halo_b = self.halo_bytes
 
-        def local(profiles, hits, raw, tail, phi0, dphi):
+        def local(profiles, hits, raw, tail, phi0, dphi, sel):
             raw, tail = raw[0], tail[0]
             phi0, dphi = phi0[0], dphi[0]
             if halo_b:
@@ -177,16 +177,20 @@ class ShardedFoldPipeline:
                 dprof, dhits = inner._step_core(
                     jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
                     phi0, dphi, chan_ix=ci, n_chan_shards=n_chan)
+            # per-shard division selection (TimeDivide at block granularity,
+            # matching the single pipeline's between-block boundaries): a
+            # shard outside the current division contributes zero
+            s = sel[0, 0]
             # PhaseSeries::combine across the time shards
-            dprof = jax.lax.psum(dprof, "time")
-            dhits = jax.lax.psum(dhits, "time")
+            dprof = jax.lax.psum(dprof * s, "time")
+            dhits = jax.lax.psum(dhits * s, "time")
             return profiles + dprof, hits + dhits
 
         sm = shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P("chan"), P("chan"), P("time"), P("time"),
-                      P("time"), P("time")),
+                      P("time"), P("time"), P("time")),
             out_specs=(P("chan"), P("chan")),
             check_vma=False,
         )
@@ -305,12 +309,15 @@ class ShardedFoldPipeline:
         while start + self.superblock_samples <= nsamp_total:
             t0s = [inner.output_start_time(start + i * inner.stride_in_samples)
                    for i in range(self.n_time)]
-            # subint division decided at superblock granularity
-            if self._first_out_time is not None:
-                div = self._division_index(t0s[0])
-                if div != self._current_div:
-                    self._flush_division()
-                    self._current_div = div
+            if self._first_out_time is None:
+                self._first_out_time = t0s[0]
+            # exact subint division at BLOCK granularity (each shard is one
+            # block): a -L/--turns boundary may land mid-superblock, in
+            # which case the superblock is folded once per division with a
+            # per-shard selection weight — matching the single pipeline's
+            # between-block TimeDivide decisions exactly
+            # (Signal/Pulsar/TimeDivide.C)
+            divs = [self._division_index(t) for t in t0s]
 
             rows, tail_rows = self._read_superblock(start)
             if cfg.digitizer_stats and inner.obs_in.nbit <= 8:
@@ -342,19 +349,26 @@ class ShardedFoldPipeline:
                 phi0[i] = (p0 - cfg.reference_phase) % 1.0
                 dphi[i] = dp
 
-            self._profiles, self._hits = self._step(
-                self._profiles, self._hits,
-                self._commit(rows, P("time")),
-                self._commit(tail_rows, P("time")),
-                self._commit(phi0, P("time")),
-                self._commit(dphi, P("time")))
+            rows_d = self._commit(rows, P("time"))
+            tail_d = self._commit(tail_rows, P("time"))
+            phi0_d = self._commit(phi0, P("time"))
+            dphi_d = self._commit(dphi, P("time"))
+            # fold once per division present in this superblock (one
+            # dispatch in the common boundary-free case)
+            for v in sorted(set(divs)):
+                if v != self._current_div:
+                    self._flush_division()
+                    self._current_div = v
+                mask = np.array([[1.0 if d == v else 0.0] for d in divs],
+                                np.float32)
+                self._profiles, self._hits = self._step(
+                    self._profiles, self._hits, rows_d, tail_d,
+                    phi0_d, dphi_d, self._commit(mask, P("time")))
+                if self._div_first_time is None:
+                    self._div_first_time = t0s[divs.index(v)]
+                self._div_samples += nuse * int(mask.sum())
 
-            if self._first_out_time is None:
-                self._first_out_time = t0s[0]
-            if self._div_first_time is None:
-                self._div_first_time = t0s[0]
             self._last_out_time = t0s[-1] + nuse * tsamp_out
-            self._div_samples += nuse * self.n_time
             start += self.superblock_stride
             nsb += 1
             if max_superblocks is not None and nsb >= max_superblocks:
