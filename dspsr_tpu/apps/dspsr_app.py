@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     # detection
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
                    help="output polns: 1=I 2=PPQQ 4=Stokes")
+    p.add_argument("--detect", default=None,
+                   choices=["intensity", "ppqq", "pp", "qq", "coherence",
+                            "stokes"],
+                   help="explicit detection state (reference Detection "
+                        "states incl. 4-pol coherence products, "
+                        "Detection.C:42-66); overrides -d")
     # phase-locked filterbank (reference -G nbin, dspsr.C:345)
     p.add_argument("-G", "--plfb-bin", type=int, default=0,
                    help="phase-locked filterbank: phase bins (enables PLFB mode)")
@@ -171,6 +177,7 @@ def main(argv=None) -> int:
         use_fft_bench=args.fft_bench,
         reference_phase=args.phase,
         npol_out=args.npol,
+        detection=args.detect,
         subint_seconds=args.subint,
         subint_turns=args.turns,
         report=args.report,

@@ -81,6 +81,11 @@ class FoldConfig:
 
     # detection
     npol_out: int = 1  # -d 1|2|4 -> Intensity|PPQQ|Stokes
+    #: explicit detection state overriding the npol_out mapping:
+    #: intensity|ppqq|pp|qq|coherence|stokes (the reference folds 4-pol
+    #: COHERENCE products and converts to Stokes at archive time,
+    #: Detection.C:42-66 + Archiver; see FoldResult.to_stokes)
+    detection: Optional[str] = None
     fourth_moment: bool = False  # -4: fold S_i*S_j moments too
     #: remove inter-channel dispersion delays inside the chirp (the -K
     #: SampleDelay op fused into the response as a phase ramp)
@@ -141,6 +146,12 @@ class FoldConfig:
     sk_no_fscr: bool = False  # --skz_no_fscr
 
     def detection_state(self) -> Signal:
+        if self.detection:
+            return {
+                "intensity": Signal.INTENSITY, "ppqq": Signal.PPQQ,
+                "pp": Signal.PP, "qq": Signal.QQ,
+                "coherence": Signal.COHERENCE, "stokes": Signal.STOKES,
+            }[self.detection.lower()]
         return {1: Signal.INTENSITY, 2: Signal.PPQQ, 4: Signal.STOKES}[self.npol_out]
 
 
@@ -179,6 +190,23 @@ class FoldResult:
         ``Archiver.C:407-773`` raw_to_central)."""
         h = np.maximum(self.hits[:, :, None, :], 1.0)
         return self.profiles / h
+
+    def to_stokes(self) -> "FoldResult":
+        """Convert 4-pol COHERENCE profiles (PP, QQ, Re[P*Q], Im[P*Q]) to
+        Stokes I,Q,U,V — the conversion the reference applies at archive
+        time (``Detection.C:42-66`` conventions; PSRCHIVE
+        ``Integration::convert_state``): I=PP+QQ, Q=PP-QQ, U=2 Re[p*q],
+        V=2 Im[p*q] (``stokes_detect.ic:38-43``; ops.detection stores the
+        coherence cross terms WITHOUT the factor 2)."""
+        from ..observation import Signal as _S
+
+        if self.obs.state != _S.COHERENCE:
+            raise ValueError(f"not coherence data: {self.obs.state}")
+        pp, qq = self.profiles[:, :, 0], self.profiles[:, :, 1]
+        re, im = self.profiles[:, :, 2], self.profiles[:, :, 3]
+        stokes = np.stack([pp + qq, pp - qq, 2.0 * re, 2.0 * im], axis=2)
+        return dataclasses.replace(
+            self, profiles=stokes, obs=self.obs.replace(state=_S.STOKES))
 
     def cyclic_spectra(self) -> np.ndarray:
         """Phase-resolved cyclic spectra from folded lag planes
@@ -232,6 +260,24 @@ class FoldPipeline:
         self._construct()
 
     # ---- construction (LoadToFold::construct/prepare equivalents) ----
+
+    def _source_dm(self, spec) -> Optional[float]:
+        """DM recorded for an additional source (None = primary DM)."""
+        if isinstance(spec, (int, float)):
+            return None
+        s = str(spec)
+        try:
+            if s.endswith(".par"):
+                return Ephemeris.load(s).dm
+            from ..timing.polyco import Polyco
+
+            from ..timing.t2pred import load_predictor
+            p = load_predictor(s)
+            if isinstance(p, Polyco) and p.blocks:
+                return p.blocks[0].dm
+        except Exception:
+            return None
+        return None
 
     def _make_predictor(self, spec):
         """Predictor from a multi-pulsar spec: a float period, a polyco /
@@ -506,11 +552,23 @@ class FoldPipeline:
         ) if cfg.sk_enable else None
 
         # --- fold plan (Fold::prepare; choose_nbin Fold.C:275-382) ---
+        # per-source geometry: each pulsar gets its own nbin from its own
+        # period (reference: one Fold per source with its own choose_nbin,
+        # LoadToFold1.C:990-1092); an explicit -b applies to every fold,
+        # exactly as the reference passes Config nbin to each Fold
         tsamp_out = 1.0 / self.obs_out.rate
+        self.nbins = [choose_nbin(p.period(obs.start_time), tsamp_out,
+                                  cfg.nbin) for p in self.predictors]
+        self.nbin = self.nbins[0]
         period = self.predictor.period(obs.start_time)
-        self.nbin = choose_nbin(period, tsamp_out, cfg.nbin)
         self.folding_period = period
         self.fold_plan = FoldPlan(nbin=self.nbin, seg_len=cfg.seg_len)
+        # per-source DM for the output archives (reference ObservationChange
+        # carries each source's DM to its Archiver; the dedispersion chirp
+        # itself stays at the primary DM, as in the reference)
+        self.source_dms = [None]
+        for spec in (cfg.additional_pulsars or ()):
+            self.source_dms.append(self._source_dm(spec))
 
         # --- megakernel fast path (ops.megakernel) ---
         self.mega_plan = None
@@ -574,6 +632,10 @@ class FoldPipeline:
         else:
             self._apodization = None
 
+        # per-source fold plans share the (possibly shrunk) segment length
+        self.fold_plans = [FoldPlan(nb, self.fold_plan.seg_len)
+                           for nb in self.nbins]
+
         # --- accumulators ---
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
         nsrc = len(self.predictors)
@@ -586,13 +648,16 @@ class FoldPipeline:
             self._hits = jnp.zeros((self.obs_in.nchan, self.nbin),
                                    jnp.float32)
         elif nsrc > 1:
-            self._profiles = jnp.zeros((nsrc, nchan, npol, self.nbin),
-                                       jnp.float32)
-            self._hits = jnp.zeros((nsrc, nchan, self.nbin), jnp.float32)
+            # per-source accumulators (each source its own nbin): a pytree
+            # of arrays instead of one stacked array
+            self._profiles = tuple(
+                jnp.zeros((nchan, npol, nb), jnp.float32)
+                for nb in self.nbins)
+            self._hits = tuple(
+                jnp.zeros((nchan, nb), jnp.float32) for nb in self.nbins)
         else:
             self._profiles = jnp.zeros((nchan, npol, self.nbin), jnp.float32)
             self._hits = jnp.zeros((nchan, self.nbin), jnp.float32)
-        self._acc_shapes = (self._profiles.shape, self._hits.shape)
         self._subints: list[FoldResult] = []
         self._current_div = 0
         self._div_samples = 0.0
@@ -632,6 +697,7 @@ class FoldPipeline:
             and not cfg.fourth_moment
             and not cfg.rfi_filter
             and not cfg.dump_path
+            and cfg.detection is None  # PP/QQ/COHERENCE run the XLA chain
             and cfg.npol_out in (1, 2, 4)
             and (cfg.npol_out == 1 or obs.npol == 2)
             and not cfg.additional_pulsars
@@ -888,16 +954,17 @@ class FoldPipeline:
                 skw = jnp.concatenate(
                     [skw, jnp.ones((nchan, pad), jnp.float32)], axis=-1)
             weights = weights * skw[:, :nuse]
-        if profiles.ndim == 4:
+        if isinstance(profiles, (tuple, list)):
             # multi-pulsar: one fold per source over the shared detected
-            # stream (phi0/dphi are [nsrc, nseg])
+            # stream, each with ITS OWN nbin (phi0/dphi are [nsrc, nseg])
             ps, hs = [], []
-            for s in range(profiles.shape[0]):
+            for s in range(len(profiles)):
                 p_, h_ = fold_block(profiles[s], hits[s], d[..., :nuse],
-                                    weights, phi0[s], dphi[s], self.fold_plan)
+                                    weights, phi0[s], dphi[s],
+                                    self.fold_plans[s])
                 ps.append(p_)
                 hs.append(h_)
-            out = (jnp.stack(ps), jnp.stack(hs))
+            out = (tuple(ps), tuple(hs))
         else:
             out = fold_block(
                 profiles, hits, d[..., :nuse], weights, phi0, dphi,
@@ -1126,8 +1193,12 @@ class FoldPipeline:
     def _flush_division(self):
         if self._div_samples == 0:
             return
-        prof = np.asarray(self._profiles)
-        hits = np.asarray(self._hits)
+        if isinstance(self._profiles, tuple):
+            prof = tuple(np.asarray(p) for p in self._profiles)
+            hits = tuple(np.asarray(h) for h in self._hits)
+        else:
+            prof = np.asarray(self._profiles)
+            hits = np.asarray(self._hits)
         if self.mega_plan is not None:
             # mega layout [nchan_in, npol_out, nsub, nbin] -> archive
             # [nchan_out, npol, nbin]; hits are per INPUT channel (excision
@@ -1143,8 +1214,9 @@ class FoldPipeline:
              self._div_samples / self.obs_out.rate)
         )
         self._div_first_time = None
-        self._profiles = jnp.zeros(self._acc_shapes[0], jnp.float32)
-        self._hits = jnp.zeros(self._acc_shapes[1], jnp.float32)
+        self._profiles = jax.tree_util.tree_map(jnp.zeros_like,
+                                                self._profiles)
+        self._hits = jax.tree_util.tree_map(jnp.zeros_like, self._hits)
         self._div_samples = 0.0
 
     def _finish(self) -> FoldResult:
@@ -1153,7 +1225,7 @@ class FoldPipeline:
         nsrc = len(self.predictors)
         multi = nsrc > 1 and self.mega_plan is None
 
-        def result(profs, hits, predictor, extras=None):
+        def result(profs, hits, predictor, extras=None, nbin=None, dm=None):
             return FoldResult(
                 profiles=profs,
                 hits=hits,
@@ -1161,9 +1233,9 @@ class FoldPipeline:
                 integration_length=np.array(
                     [s[3] for s in self._subints]),
                 obs=self.obs_out,
-                nbin=self.nbin,
+                nbin=self.nbin if nbin is None else nbin,
                 folding_period=predictor.period(self.obs_in.start_time),
-                dispersion_measure=self.dm,
+                dispersion_measure=self.dm if dm is None else dm,
                 cyclic_nlag=(self.cyclic_plan.nlag if self.cyclic_plan else 0),
                 cyclic_mover=(self.cyclic_plan.mover
                               if self.cyclic_plan else 1),
@@ -1180,25 +1252,34 @@ class FoldPipeline:
                 ephemeris=self.ephemeris,
             )
 
-        if self._subints:
-            profs = np.stack([s[0] for s in self._subints])
-            hits = np.stack([s[1] for s in self._subints])
-        elif multi:
-            profs = np.zeros((0, nsrc, self.obs_out.nchan,
-                              self.obs_out.npol, self.nbin))
-            hits = np.zeros((0, nsrc, self.obs_out.nchan, self.nbin))
-        else:
-            profs = np.zeros((0, self.obs_out.nchan, self.obs_out.npol,
-                              self.nbin))
-            hits = np.zeros((0, self.obs_out.nchan, self.nbin))
-
         if not multi:
+            if self._subints:
+                profs = np.stack([s[0] for s in self._subints])
+                hits = np.stack([s[1] for s in self._subints])
+            else:
+                profs = np.zeros((0, self.obs_out.nchan, self.obs_out.npol,
+                                  self.nbin))
+                hits = np.zeros((0, self.obs_out.nchan, self.nbin))
             return result(profs, hits, self.predictor)
-        # split the source axis into one FoldResult per pulsar
-        extras = [result(profs[:, s], hits[:, s], self.predictors[s])
-                  for s in range(1, nsrc)]
-        return result(profs[:, 0], hits[:, 0], self.predictors[0],
-                      extras=extras)
+
+        # one FoldResult per pulsar, each with its own nbin/DM (the subint
+        # tuples are ragged across sources, so stack per source)
+        def src_stacks(s):
+            if self._subints:
+                return (np.stack([sub[0][s] for sub in self._subints]),
+                        np.stack([sub[1][s] for sub in self._subints]))
+            return (np.zeros((0, self.obs_out.nchan, self.obs_out.npol,
+                              self.nbins[s])),
+                    np.zeros((0, self.obs_out.nchan, self.nbins[s])))
+
+        extras = []
+        for s in range(1, nsrc):
+            ps, hs = src_stacks(s)
+            extras.append(result(ps, hs, self.predictors[s],
+                                 nbin=self.nbins[s],
+                                 dm=self.source_dms[s]))
+        p0, h0 = src_stacks(0)
+        return result(p0, h0, self.predictors[0], extras=extras)
 
 
 def load_to_fold(path: str, config: FoldConfig, **run_kw) -> FoldResult:

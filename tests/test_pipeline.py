@@ -371,6 +371,111 @@ class TestMultiPulsar:
         assert snr_a > 1.1
 
 
+class TestDetectionStates:
+    """Explicit detection states (VERDICT r2 item 7): COHERENCE folds the
+    4-pol cross products (Detection.C:42-66) and converts to Stokes at
+    archive time; PP/QQ fold single polarizations."""
+
+    def test_coherence_fold_converts_to_stokes(self, tmp_path):
+        from dspsr_tpu.observation import Signal
+
+        path = synth_pulsar_dada(str(tmp_path / "coh.dada"), nsec=0.1)
+        base = dict(folding_period=PERIOD, dispersion_measure=DM, nchan=4,
+                    block_parts=2, min_block_samples=0, nbin=32)
+        rc = load_to_fold(path, FoldConfig(detection="coherence", **base))
+        rs = load_to_fold(path, FoldConfig(npol_out=4, **base,
+                                           use_megakernel=False))
+        assert rc.obs.state == Signal.COHERENCE
+        assert rc.profiles.shape == rs.profiles.shape
+        # detection is linear per product, folding is linear: the converted
+        # coherence fold equals the Stokes fold numerically
+        conv = rc.to_stokes()
+        assert conv.obs.state == Signal.STOKES
+        scale = np.abs(rs.profiles).max()
+        assert np.abs(conv.profiles - rs.profiles).max() / scale < 2e-6
+        np.testing.assert_allclose(conv.hits, rs.hits, atol=1e-3)
+
+    def test_pp_qq_single_pol_folds(self, tmp_path):
+        path = synth_pulsar_dada(str(tmp_path / "pq.dada"), nsec=0.06)
+        base = dict(folding_period=PERIOD, dispersion_measure=DM, nchan=4,
+                    block_parts=2, min_block_samples=0, nbin=32,
+                    use_megakernel=False)
+        r2 = load_to_fold(path, FoldConfig(npol_out=2, **base))
+        rp = load_to_fold(path, FoldConfig(detection="pp", **base))
+        rq = load_to_fold(path, FoldConfig(detection="qq", **base))
+        assert rp.profiles.shape[2] == 1 and rq.profiles.shape[2] == 1
+        scale = np.abs(r2.profiles).max()
+        assert np.abs(rp.profiles[:, :, 0] - r2.profiles[:, :, 0]).max() \
+            / scale < 2e-6
+        assert np.abs(rq.profiles[:, :, 0] - r2.profiles[:, :, 1]).max() \
+            / scale < 2e-6
+
+    def test_coherence_archive_pol_type(self, tmp_path):
+        from dspsr_tpu.io.psrfits import save_psrfits_fold
+        from dspsr_tpu.io.fits import read_fits_headers
+
+        path = synth_pulsar_dada(str(tmp_path / "ca.dada"), nsec=0.06)
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, min_block_samples=0,
+                         nbin=32, detection="coherence")
+        res = load_to_fold(path, cfg)
+        ar = str(tmp_path / "coh.ar")
+        save_psrfits_fold(ar, res)
+        hdus = read_fits_headers(ar)
+        sub = [h for h in hdus if "SUBINT" in str(h.get("EXTNAME", ""))][0]
+        assert "AABBCRCI" in str(sub["POL_TYPE"])
+        ar2 = str(tmp_path / "stk.ar")
+        save_psrfits_fold(ar2, res.to_stokes())
+        hdus2 = read_fits_headers(ar2)
+        sub2 = [h for h in hdus2 if "SUBINT" in str(h.get("EXTNAME", ""))][0]
+        assert "IQUV" in str(sub2["POL_TYPE"])
+
+
+class TestPerSourceFoldGeometry:
+    def test_auto_nbin_per_source(self, tmp_path):
+        """With -b unset each pulsar gets its own choose_nbin from its own
+        period (LoadToFold1.C:990-1092); every fold matches its
+        single-pulsar run."""
+        from dspsr_tpu.io.sources import open_source
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        p2 = PERIOD / 7  # fast pulsar -> fewer phase bins than the primary
+        path = synth_pulsar_dada(str(tmp_path / "nb.dada"), nsec=0.3)
+        base = dict(dispersion_measure=DM, nchan=4, block_parts=2,
+                    min_block_samples=0, nbin=0, use_megakernel=False)
+        pipe = FoldPipeline(open_source(path),
+                            FoldConfig(folding_period=PERIOD,
+                                       additional_pulsars=(p2,), **base))
+        assert pipe.nbins[1] < pipe.nbins[0]  # shorter period, fewer bins
+        res = pipe.run()
+        r2 = res.extra_sources[0]
+        assert res.profiles.shape[-1] == pipe.nbins[0]
+        assert r2.profiles.shape[-1] == pipe.nbins[1]
+        assert r2.nbin == pipe.nbins[1]
+
+        a = load_to_fold(path, FoldConfig(folding_period=PERIOD, **base))
+        b = load_to_fold(path, FoldConfig(folding_period=p2, **base))
+        np.testing.assert_allclose(res.profiles, a.profiles, rtol=1e-6)
+        np.testing.assert_allclose(r2.profiles, b.profiles, rtol=1e-6)
+
+    def test_per_source_dm_from_par(self, tmp_path):
+        """A .par additional source records ITS dm in its FoldResult."""
+        from dspsr_tpu.io.sources import open_source
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        par = tmp_path / "x.par"
+        par.write_text("PSRJ  J0000+0000\nF0  3.7\nDM  12.5\n"
+                       "PEPOCH 55000\nRAJ 00:00:00\nDECJ 00:00:00\n")
+        path = synth_pulsar_dada(str(tmp_path / "pd.dada"), nsec=0.06)
+        cfg = FoldConfig(folding_period=PERIOD, dispersion_measure=DM,
+                         nchan=4, block_parts=2, min_block_samples=0,
+                         nbin=32, use_megakernel=False,
+                         additional_pulsars=(str(par),))
+        res = load_to_fold(path, cfg)
+        assert res.dispersion_measure == DM
+        assert res.extra_sources[0].dispersion_measure == 12.5
+
+
 class TestCalFolding:
     def test_cal_mode_recovers_square_wave(self, tmp_path):
         """MODE=CAL + CALFREQ: fold at the cal square-wave frequency with no
