@@ -17,7 +17,10 @@ def build_parser():
         prog="the-decimator-tpu",
         description="Live ring buffer -> SIGPROC filterbank converter",
     )
-    p.add_argument("ring", help="shared-memory ring name (e.g. /my_ring)")
+    p.add_argument("ring",
+                   help="shared-memory ring: a POSIX name (/my_ring) or a "
+                        "psrdada-style SysV hex key (e.g. 0xdada; the "
+                        "reference's dada_hdu key, DADABuffer.C:175-208)")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-F", "--nchan", type=int, default=128)
     p.add_argument("-t", "--tscrunch", type=int, default=1)
@@ -30,10 +33,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.platform import configure_from_env
     configure_from_env()
-    from ..io.hostio import RingReader
+    from ..io.hostio import DadaReader, RingReader
     from ..models.load_to_fil import FilConfig, FilPipeline
 
-    ring = RingReader(args.ring)
+    if args.ring.lower().startswith("0x"):
+        ring = DadaReader(int(args.ring, 16))
+    else:
+        ring = RingReader(args.ring)
     nbuf = ring.buffer_samples()
     cfg = FilConfig(
         nchan=args.nchan,

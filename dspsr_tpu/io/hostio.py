@@ -70,8 +70,39 @@ def load_hostio() -> ctypes.CDLL:
     lib.ring_fill.restype = ctypes.c_int64
     lib.ring_fill.argtypes = [ctypes.c_void_p]
     lib.ring_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    # psrdada-architecture SysV hdu (data block at key, header at key+1)
+    lib.dada_create.restype = ctypes.c_void_p
+    lib.dada_create.argtypes = [ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64]
+    lib.dada_connect.restype = ctypes.c_void_p
+    lib.dada_connect.argtypes = [ctypes.c_int]
+    lib.dada_write_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int64]
+    lib.dada_read_header.restype = ctypes.c_int
+    lib.dada_read_header.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int64]
+    lib.dada_push.restype = ctypes.c_int
+    lib.dada_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_double]
+    lib.dada_pop.restype = ctypes.c_int
+    lib.dada_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_double]
+    lib.dada_set_eod.argtypes = [ctypes.c_void_p]
+    lib.dada_bufsz.restype = ctypes.c_int64
+    lib.dada_bufsz.argtypes = [ctypes.c_void_p]
+    lib.dada_nbufs.restype = ctypes.c_int64
+    lib.dada_nbufs.argtypes = [ctypes.c_void_p]
+    lib.dada_hdr_bufsz.restype = ctypes.c_int64
+    lib.dada_hdr_bufsz.argtypes = [ctypes.c_void_p]
+    lib.dada_fill.restype = ctypes.c_int64
+    lib.dada_fill.argtypes = [ctypes.c_void_p]
+    lib.dada_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return lib
+
+
+#: psrdada's default ring key (dada_def.h DADA_DEFAULT_BLOCK_KEY)
+DADA_DEFAULT_BLOCK_KEY = 0xDADA
 
 
 class PrefetchSource(Source):
@@ -237,4 +268,77 @@ class RingReader(Source):
     def close(self, unlink: bool = False):
         if self._h:
             self._lib.ring_close(self._h, int(unlink))
+            self._h = None
+
+
+class DadaWriter:
+    """Producer side of the psrdada-style SysV hdu (data block at ``key``,
+    header block at ``key + 1``, semaphore flow control — the transport the
+    reference's ``DADABuffer`` attaches to; see native/hostio.cpp for the
+    layout and the cited psrdada conventions)."""
+
+    def __init__(self, key: int, obs: Observation, buf_bytes: int,
+                 nbufs: int = 16, hdr_bytes: int = 4096):
+        self._lib = load_hostio()
+        self._h = self._lib.dada_create(key, nbufs, buf_bytes, hdr_bytes)
+        if not self._h:
+            raise OSError(f"dada_create(0x{key:x}) failed")
+        self.key = key
+        self.buf_bytes = buf_bytes
+        from .dada import header_from_observation
+
+        hdr = format_ascii_header(header_from_observation(obs), hdr_bytes)
+        self._lib.dada_write_header(self._h, hdr, len(hdr))
+
+    def push(self, buf: np.ndarray, timeout: float = 10.0) -> bool:
+        assert buf.nbytes == self.buf_bytes
+        b = np.ascontiguousarray(buf.view(np.uint8))
+        return bool(self._lib.dada_push(
+            self._h, b.ctypes.data_as(ctypes.c_void_p), timeout))
+
+    def set_eod(self):
+        self._lib.dada_set_eod(self._h)
+
+    def close(self, destroy: bool = True):
+        if self._h:
+            self._lib.dada_close(self._h, int(destroy))
+            self._h = None
+
+
+class DadaReader(RingReader):
+    """Consumer side of the psrdada-style SysV hdu: a Source with the same
+    overlap-carrying forward-read semantics as :class:`RingReader` (the
+    ``DADABuffer`` role, ``Kernel/Formats/dada/dsp/DADABuffer.h:17-80``)."""
+
+    def __init__(self, key: int = DADA_DEFAULT_BLOCK_KEY,
+                 timeout: float = 10.0):
+        self._lib = load_hostio()
+        self._h = self._lib.dada_connect(key)
+        if not self._h:
+            raise OSError(f"dada_connect(0x{key:x}) failed")
+        self.key = key
+        self.timeout = timeout
+        hdr_bytes = self._lib.dada_hdr_bufsz(self._h)
+        buf = ctypes.create_string_buffer(hdr_bytes)
+        if not self._lib.dada_read_header(self._h, buf, hdr_bytes):
+            raise OSError("dada header not written yet")
+        self.obs = observation_from_header(
+            parse_ascii_header(buf.raw.decode("latin-1")))
+        self.buf_bytes = self._lib.dada_bufsz(self._h)
+        self._carry = np.empty(0, np.uint8)
+        self._carry_start = 0
+
+    def _pop(self) -> np.ndarray:
+        out = np.empty(self.buf_bytes, np.uint8)
+        r = self._lib.dada_pop(self._h, out.ctypes.data_as(ctypes.c_void_p),
+                               self.timeout)
+        if r == 1:
+            return out
+        if r == -1:
+            raise EOFError("dada ring end of data")
+        raise TimeoutError(f"dada ring empty after {self.timeout}s")
+
+    def close(self, destroy: bool = False):
+        if self._h:
+            self._lib.dada_close(self._h, int(destroy))
             self._h = None

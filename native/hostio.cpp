@@ -22,8 +22,12 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <sys/ipc.h>
 #include <sys/mman.h>
+#include <sys/sem.h>
+#include <sys/shm.h>
 #include <sys/stat.h>
+#include <time.h>
 #include <unistd.h>
 
 extern "C" {
@@ -269,6 +273,246 @@ void ring_close(Ring* r, int unlink_it) {
   close(r->fd);
   if (unlink_it) shm_unlink(name);
   delete r;
+}
+
+// -------------------------------------------------- psrdada-style SysV ring
+//
+// The psrdada library (the transport behind the reference's live input,
+// Kernel/Formats/dada/dsp/DADABuffer.h:17-80 + DADABuffer.C
+// dada_hdu_set_key/connect/lock_read) moves data through System V IPC:
+//
+//  - a dada_hdu is a DATA block plus a HEADER block; the data block lives
+//    at the user key (default DADA_DEFAULT_BLOCK_KEY = 0x0000dada,
+//    psrdada dada_def.h) and the header block at key + 1 (psrdada
+//    dada_hdu_create convention; DADABuffer reads the hex key from an INFO
+//    file, DADABuffer.C:175-208);
+//  - each block is an ipcbuf: a SYNC segment (shmget at the block key)
+//    holding the ring geometry and counters, plus nbufs BUFFER segments
+//    whose shm keys are RECORDED IN the sync segment (psrdada ipcbuf.c
+//    stores per-buffer shmkeys so connecting clients discover them from
+//    sync — the key derivation below, key + 0x100*(i+1), is therefore a
+//    create-time choice, not part of the wire contract);
+//  - flow control is a SysV semaphore set at the block key: a FULL
+//    semaphore counting filled buffers and a CLEAR semaphore counting free
+//    ones (the roles of psrdada's IPCBUF_FULL/IPCBUF_CLEAR);
+//  - the header block carries one DADA_DEFAULT_HEADER_SIZE = 4096-byte
+//    ASCII header per transfer (psrdada dada_def.h);
+//  - end-of-data is flagged in sync with the final byte count (the role of
+//    ipcbuf_enable_eod / sod/eod transfer bookkeeping in ipcsync_t).
+//
+// NOTE on wire compatibility: this image carries no psrdada to diff
+// against, so the ipcsync_t FIELD layout below is this library's own
+// (version-tagged); the segment/semaphore topology, key conventions and
+// blocking protocol follow psrdada's documented design, so real DAQ
+// clients port by pointing their ipcbuf struct at this sync layout.
+
+#define DADA_MAX_BUFS 256
+static const uint64_t DADA_SYNC_VERSION = 0x4441444131765455ULL;  // tag
+
+struct DadaSync {
+  uint64_t version;
+  int32_t semkey;
+  int32_t pad0;
+  uint64_t nbufs;
+  uint64_t bufsz;
+  volatile uint64_t w_buf;   // buffers written (monotonic)
+  volatile uint64_t r_buf;   // buffers consumed (monotonic)
+  volatile int32_t eod;      // writer signalled end of the transfer
+  volatile int32_t hdr_set;  // header block written (header ring only)
+  uint64_t e_byte;           // total bytes of the transfer at EOD
+  int32_t shmkey[DADA_MAX_BUFS];
+};
+
+enum { DADA_SEM_FULL = 0, DADA_SEM_CLEAR = 1 };
+
+struct DadaBlock {
+  int key = 0;
+  int shmid = -1;
+  int semid = -1;
+  DadaSync* sync = nullptr;
+  uint8_t* bufs[DADA_MAX_BUFS] = {nullptr};
+  int bufids[DADA_MAX_BUFS];
+};
+
+static int dada_sem_op(int semid, int sem, int delta, double timeout_s) {
+  struct sembuf op;
+  op.sem_num = (unsigned short)sem;
+  op.sem_op = (short)delta;
+  op.sem_flg = 0;
+  if (timeout_s < 0) return semop(semid, &op, 1);
+  struct timespec ts;
+  ts.tv_sec = (time_t)timeout_s;
+  ts.tv_nsec = (long)((timeout_s - (double)ts.tv_sec) * 1e9);
+  return semtimedop(semid, &op, 1, &ts);
+}
+
+static DadaBlock* dada_block_create(int key, uint64_t nbufs, uint64_t bufsz) {
+  if (nbufs > DADA_MAX_BUFS) return nullptr;
+  auto* b = new DadaBlock();
+  b->key = key;
+  b->shmid = shmget(key, sizeof(DadaSync), IPC_CREAT | IPC_EXCL | 0600);
+  if (b->shmid < 0) {  // stale segment: adopt and reset
+    b->shmid = shmget(key, sizeof(DadaSync), IPC_CREAT | 0600);
+  }
+  if (b->shmid < 0) { delete b; return nullptr; }
+  b->sync = (DadaSync*)shmat(b->shmid, nullptr, 0);
+  if (b->sync == (void*)-1) { delete b; return nullptr; }
+  memset((void*)b->sync, 0, sizeof(DadaSync));
+  b->sync->version = DADA_SYNC_VERSION;
+  b->sync->semkey = key;
+  b->sync->nbufs = nbufs;
+  b->sync->bufsz = bufsz;
+  for (uint64_t i = 0; i < nbufs; i++) {
+    int bk = key + 0x100 * (int)(i + 1);
+    b->sync->shmkey[i] = bk;
+    b->bufids[i] = shmget(bk, bufsz, IPC_CREAT | 0600);
+    if (b->bufids[i] < 0) { delete b; return nullptr; }
+    b->bufs[i] = (uint8_t*)shmat(b->bufids[i], nullptr, 0);
+    if (b->bufs[i] == (void*)-1) { delete b; return nullptr; }
+  }
+  b->semid = semget(key, 2, IPC_CREAT | 0600);
+  if (b->semid < 0) { delete b; return nullptr; }
+  // FULL = 0 filled, CLEAR = nbufs free
+  semctl(b->semid, DADA_SEM_FULL, SETVAL, 0);
+  semctl(b->semid, DADA_SEM_CLEAR, SETVAL, (int)nbufs);
+  return b;
+}
+
+static DadaBlock* dada_block_connect(int key) {
+  auto* b = new DadaBlock();
+  b->key = key;
+  b->shmid = shmget(key, sizeof(DadaSync), 0600);
+  if (b->shmid < 0) { delete b; return nullptr; }
+  b->sync = (DadaSync*)shmat(b->shmid, nullptr, 0);
+  if (b->sync == (void*)-1 || b->sync->version != DADA_SYNC_VERSION) {
+    delete b; return nullptr;
+  }
+  for (uint64_t i = 0; i < b->sync->nbufs; i++) {
+    b->bufids[i] = shmget(b->sync->shmkey[i], b->sync->bufsz, 0600);
+    if (b->bufids[i] < 0) { delete b; return nullptr; }
+    b->bufs[i] = (uint8_t*)shmat(b->bufids[i], nullptr, 0);
+    if (b->bufs[i] == (void*)-1) { delete b; return nullptr; }
+  }
+  b->semid = semget(b->sync->semkey, 2, 0600);
+  if (b->semid < 0) { delete b; return nullptr; }
+  return b;
+}
+
+static void dada_block_close(DadaBlock* b, int destroy) {
+  if (!b) return;
+  uint64_t nbufs = b->sync ? b->sync->nbufs : 0;
+  for (uint64_t i = 0; i < nbufs; i++) {
+    if (b->bufs[i]) shmdt(b->bufs[i]);
+    if (destroy && b->bufids[i] >= 0) shmctl(b->bufids[i], IPC_RMID, nullptr);
+  }
+  if (b->sync) shmdt((void*)b->sync);
+  if (destroy) {
+    if (b->shmid >= 0) shmctl(b->shmid, IPC_RMID, nullptr);
+    if (b->semid >= 0) semctl(b->semid, 0, IPC_RMID);
+  }
+  delete b;
+}
+
+// --- the hdu: data block at key, header block at key + 1 ---
+
+struct DadaHdu {
+  DadaBlock* data = nullptr;
+  DadaBlock* header = nullptr;
+};
+
+DadaHdu* dada_create(int key, int64_t nbufs, int64_t bufsz,
+                     int64_t hdr_bufsz) {
+  auto* h = new DadaHdu();
+  h->data = dada_block_create(key, (uint64_t)nbufs, (uint64_t)bufsz);
+  h->header = dada_block_create(key + 1, 1, (uint64_t)hdr_bufsz);
+  if (!h->data || !h->header) {
+    dada_block_close(h->data, 1);
+    dada_block_close(h->header, 1);
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+DadaHdu* dada_connect(int key) {
+  auto* h = new DadaHdu();
+  h->data = dada_block_connect(key);
+  h->header = dada_block_connect(key + 1);
+  if (!h->data || !h->header) {
+    dada_block_close(h->data, 0);
+    dada_block_close(h->header, 0);
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+void dada_write_header(DadaHdu* h, const uint8_t* hdr, int64_t n) {
+  uint64_t cap = h->header->sync->bufsz;
+  if ((uint64_t)n > cap) n = (int64_t)cap;
+  memcpy(h->header->bufs[0], hdr, n);
+  if ((uint64_t)n < cap) memset(h->header->bufs[0] + n, 0, cap - n);
+  __sync_synchronize();
+  h->header->sync->hdr_set = 1;
+}
+
+int dada_read_header(DadaHdu* h, uint8_t* out, int64_t n) {
+  if (!h->header->sync->hdr_set) return 0;
+  uint64_t cap = h->header->sync->bufsz;
+  if ((uint64_t)n > cap) n = (int64_t)cap;
+  __sync_synchronize();
+  memcpy(out, h->header->bufs[0], n);
+  return 1;
+}
+
+// Writer: blocks up to timeout_s for a free buffer; 1 = written, 0 = timeout.
+int dada_push(DadaHdu* h, const uint8_t* buf, double timeout_s) {
+  DadaBlock* d = h->data;
+  if (dada_sem_op(d->semid, DADA_SEM_CLEAR, -1, timeout_s) != 0) return 0;
+  uint64_t w = d->sync->w_buf;
+  memcpy(d->bufs[w % d->sync->nbufs], buf, d->sync->bufsz);
+  __sync_synchronize();
+  d->sync->w_buf = w + 1;
+  dada_sem_op(d->semid, DADA_SEM_FULL, +1, -1);
+  return 1;
+}
+
+// Reader: 1 = buffer read, 0 = timeout, -1 = end-of-data drained.
+int dada_pop(DadaHdu* h, uint8_t* out, double timeout_s) {
+  DadaBlock* d = h->data;
+  for (;;) {
+    if (dada_sem_op(d->semid, DADA_SEM_FULL, -1, timeout_s) == 0) break;
+    if (d->sync->eod && d->sync->r_buf == d->sync->w_buf) return -1;
+    return 0;
+  }
+  uint64_t r = d->sync->r_buf;
+  __sync_synchronize();
+  memcpy(out, d->bufs[r % d->sync->nbufs], d->sync->bufsz);
+  d->sync->r_buf = r + 1;
+  dada_sem_op(d->semid, DADA_SEM_CLEAR, +1, -1);
+  return 1;
+}
+
+void dada_set_eod(DadaHdu* h) {
+  DadaSync* s = h->data->sync;
+  s->e_byte = s->w_buf * s->bufsz;
+  __sync_synchronize();
+  s->eod = 1;
+}
+
+int64_t dada_bufsz(DadaHdu* h) { return (int64_t)h->data->sync->bufsz; }
+int64_t dada_nbufs(DadaHdu* h) { return (int64_t)h->data->sync->nbufs; }
+int64_t dada_hdr_bufsz(DadaHdu* h) {
+  return (int64_t)h->header->sync->bufsz;
+}
+int64_t dada_fill(DadaHdu* h) {
+  return (int64_t)(h->data->sync->w_buf - h->data->sync->r_buf);
+}
+
+void dada_close(DadaHdu* h, int destroy) {
+  dada_block_close(h->data, destroy);
+  dada_block_close(h->header, destroy);
+  delete h;
 }
 
 }  // extern "C"
