@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
     # detection
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
                    help="output polns: 1=I 2=PPQQ 4=Stokes")
+    p.add_argument("-m", "--minimum-integration", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="discard subints shorter than this (reference -m -> "
+                        "PhaseSeriesUnloader minimum integration length)")
+    p.add_argument("-J", "--post-script", default=None, metavar="SCRIPT",
+                   help="run on each written archive: 'psrsh SCRIPT file' "
+                        "when psrsh is installed, else SCRIPT is executed "
+                        "with the archive path (reference -J psrsh hook, "
+                        "Archiver post-processing script)")
     p.add_argument("--detect", default=None,
                    choices=["intensity", "ppqq", "pp", "qq", "coherence",
                             "stokes"],
@@ -156,6 +165,30 @@ def coerce_set_value(obs, key: str, value: str):
     return value
 
 
+def run_post_script(script: str, archive_path: str, quiet: bool) -> None:
+    """The reference's -J hook: run a psrsh script on each freshly written
+    archive (``Signal/Pulsar/Archiver.C`` psrsh post-processing).  When no
+    psrsh exists in this environment, SCRIPT itself is executed with the
+    archive path (any executable post-processor)."""
+    import shutil
+    import subprocess
+
+    psrsh = shutil.which("psrsh")
+    cmd = [psrsh, script, archive_path] if psrsh else [script, archive_path]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        if r.returncode != 0 and not quiet:
+            import sys as _sys
+
+            print(f"dspsr-tpu: -J {script} failed ({r.returncode}): "
+                  f"{r.stderr.strip()[:200]}", file=_sys.stderr)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if not quiet:
+            import sys as _sys
+
+            print(f"dspsr-tpu: -J {script}: {e}", file=_sys.stderr)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.platform import configure_from_env
@@ -178,6 +211,7 @@ def main(argv=None) -> int:
         reference_phase=args.phase,
         npol_out=args.npol,
         detection=args.detect,
+        minimum_integration_length=args.minimum_integration,
         subint_seconds=args.subint,
         subint_turns=args.turns,
         report=args.report,
@@ -241,6 +275,8 @@ def main(argv=None) -> int:
         res = pipe.run()
         out = args.output or filename_epoch(res)
         save_archive(out, res)
+        if args.post_script:
+            run_post_script(args.post_script, out, args.quiet)
         if not args.quiet:
             print(f"dspsr-tpu: wrote {out}", file=sys.stderr)
         return 0
@@ -258,10 +294,15 @@ def main(argv=None) -> int:
             root, dot, ext = out.rpartition(".")
             out = f"{root}_r{ipass}{dot}{ext}" if dot else f"{out}_r{ipass}"
         save_archive(out, res)
+        if args.post_script:
+            run_post_script(args.post_script, out, args.quiet)
         for i, extra in enumerate(res.extra_sources or []):
             root, dot, e2 = out.rpartition(".")
-            save_archive(f"{root}_src{i + 1}{dot}{e2}" if dot
-                         else f"{out}_src{i + 1}", extra)
+            p2 = (f"{root}_src{i + 1}{dot}{e2}" if dot
+                  else f"{out}_src{i + 1}")
+            save_archive(p2, extra)
+            if args.post_script:
+                run_post_script(args.post_script, p2, args.quiet)
         if not args.quiet:
             nsub = res.profiles.shape[0]
             print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "

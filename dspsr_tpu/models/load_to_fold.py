@@ -101,6 +101,10 @@ class FoldConfig:
     # subints
     subint_seconds: float = 0.0  # -L
     subint_turns: int = 0  # --turns: divide by pulse turns (TimeDivide)
+    #: discard subints shorter than this many seconds (reference -m ->
+    #: PhaseSeriesUnloader::set_minimum_integration_length; typically drops
+    #: the final partial subint)
+    minimum_integration_length: float = 0.0
 
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
@@ -1222,6 +1226,12 @@ class FoldPipeline:
     def _finish(self) -> FoldResult:
         if not self._subints:
             self._flush_division()
+        if self.config.minimum_integration_length > 0:
+            # -m: the unloader discards too-short subints
+            # (PhaseSeriesUnloader::set_minimum_integration_length)
+            self._subints = [
+                s for s in self._subints
+                if s[3] >= self.config.minimum_integration_length]
         nsrc = len(self.predictors)
         multi = nsrc > 1 and self.mega_plan is None
 

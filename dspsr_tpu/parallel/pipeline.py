@@ -379,6 +379,10 @@ class ShardedFoldPipeline:
 
     def _finish(self) -> FoldResult:
         inner = self.inner
+        if self.config.minimum_integration_length > 0:
+            self._subints = [
+                s for s in self._subints
+                if s[3] >= self.config.minimum_integration_length]
         # NOTE: collectives must run on EVERY process (process-independent
         # condition), so gate on config only — never on local data
         if self.distributed and self.config.digitizer_stats \

@@ -194,3 +194,57 @@ class TestThreadedClis:
                    "--threads", "4", "-c", "-q", "-T", "0.08"])
         assert rc == 0
         assert 0 < os.path.getsize(out_t) < os.path.getsize(out)
+
+
+class TestCliTailOptions:
+    def test_minimum_integration_drops_short_subint(self, tmp_path):
+        """-m discards the trailing partial subint (reference
+        PhaseSeriesUnloader::set_minimum_integration_length)."""
+        import numpy as np
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+
+        rng = np.random.default_rng(3)
+        obs = Observation(nchan=1, npol=2, ndim=1, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-2.0, rate=1e6,
+                          start_time=MJD(55000, 0.2), state=Signal.NYQUIST,
+                          source="X", telescope="PKS", instrument="RAW")
+        p = str(tmp_path / "mi.raw")
+        with open(p, "wb") as f:
+            f.write(rng.integers(0, 256, 1 << 18).astype(np.uint8).tobytes())
+        base = dict(folding_period=0.004, dispersion_measure=3.0, nchan=4,
+                    nbin=32, block_parts=2, min_block_samples=0,
+                    use_megakernel=False, subint_seconds=0.05)
+        full = FoldPipeline(RawFileSource(p, obs), FoldConfig(**base)).run()
+        cut = FoldPipeline(RawFileSource(p, obs),
+                           FoldConfig(minimum_integration_length=0.045,
+                                      **base)).run()
+        assert full.profiles.shape[0] > cut.profiles.shape[0]
+        assert (cut.integration_length >= 0.045).all()
+
+    def test_post_script_hook_runs(self, tmp_path):
+        """-J runs the post-processing script on each written archive
+        (reference psrsh hook)."""
+        import os
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        rng = np.random.default_rng(0)
+        raw = str(tmp_path / "pj.raw")
+        with open(raw, "wb") as f:
+            f.write(rng.integers(0, 256, 1 << 16).astype(np.uint8).tobytes())
+        marker = tmp_path / "seen.txt"
+        script = tmp_path / "hook.sh"
+        script.write_text(f"#!/bin/sh\necho \"$1\" >> {marker}\n")
+        script.chmod(0o755)
+        out = str(tmp_path / "pj.ar")
+        rc = main([raw, "--header", "FREQ=1400", "BW=-2", "NCHAN=1",
+                   "NPOL=2", "NDIM=1", "NBIT=8", "TSAMP=1.0",
+                   "UTC_START=2010-04-13-02:05:45",
+                   "-c", "0.005", "-D", "3", "-F", "4", "-b", "32",
+                   "-a", "psrfits", "-O", out, "-q",
+                   "-J", str(script)])
+        assert rc == 0
+        assert marker.exists() and out in marker.read_text()
