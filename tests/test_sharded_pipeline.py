@@ -334,6 +334,41 @@ class TestShardedMegakernel:
         np.testing.assert_allclose(res_m.hits, res_1.hits, atol=1e-3)
 
 
+    def test_sharded_twobit_mega_matches_single_mega(self, tmp_path):
+        """2-bit JA98 in-kernel unpack + excision weights SHARDED: each time
+        shard runs the fused kernel on its stripe; equals the single-chip
+        fused run exactly (weights included)."""
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        obs = _obs(nbit=2, ndim=2)
+        # n_fft 4096 -> R1 64, R2 64, row_len 64; npw=64 divides it
+        cfg = FoldConfig(folding_period=0.004, dispersion_measure=0.0,
+                         nchan=4, nbin=32, block_parts=2,
+                         frequency_resolution=1024, ndat_per_weight=64,
+                         min_block_samples=8192, use_megakernel=True,
+                         digitizer_stats=False)
+        mesh = make_mesh(4, 1)
+        probe = ShardedFoldPipeline(
+            RawFileSource(_write(tmp_path, "m2.raw", 1 << 20, twobit=True),
+                          obs), cfg, mesh)
+        assert probe.mega and probe.inner.mega_plan.npw == 64
+        total = 2 * probe.superblock_stride + probe.inner.nsamp_overlap
+        path = _write(tmp_path, "m2.raw",
+                      int(round(total * obs.nbytes_per_sample)),
+                      twobit=True, rfi_stretch=(30000, 34096))
+
+        sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+        res_m = sh.run()
+        single = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert single.mega_plan is not None
+        res_1 = single.run()
+        scale = np.abs(res_1.profiles).max()
+        assert np.abs(res_m.profiles - res_1.profiles).max() / scale < 2e-5
+        np.testing.assert_allclose(res_m.hits, res_1.hits, atol=1e-3)
+        # excision visible in both
+        assert res_1.hits.min() < res_1.hits.max()
+
+
 def test_parity_cyclic_fold(tmp_path):
     """CyclicFold sharded over time (lag products per shard, matching the
     reference's per-thread pipelines)."""
