@@ -89,7 +89,7 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
 
     stride = pipe.stride_in_samples
     tsamp_out = 1.0 / pipe.obs_out.rate
-    nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) \
+    nuse = -(-pipe.out_per_block // pipe.fold_plan.seg_len) \
         * pipe.fold_plan.seg_len
     raw_np = src.read_samples(0, pipe.block_in_samples)
     nbytes = raw_np.size

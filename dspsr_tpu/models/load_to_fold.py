@@ -822,12 +822,15 @@ class FoldPipeline:
         if getattr(self, "cyclic_plan", None) is not None:
             out_per_block -= self.cyclic_plan.nlag - 1
 
-        # fold segments must tile the block's output samples
+        # the fold pads the block's trailing partial segment with zero
+        # weights (see _step_core), so seg_len need not divide the output;
+        # clamp only so a tiny block doesn't drown in padding.  (Round 2
+        # shrank seg to a divisor instead, which could collapse to seg=1 on
+        # odd geometries — thousands of host polyco evaluations per block.)
         seg = self.config.seg_len
-        if out_per_block % seg:
-            # shrink seg_len to a divisor (power-of-two friendly)
-            while seg > 1 and out_per_block % seg:
-                seg //= 2
+        while seg > 1 and seg > out_per_block:
+            seg //= 2
+        if seg != self.fold_plan.seg_len:
             self.fold_plan = FoldPlan(self.nbin, seg)
         self.out_per_block = out_per_block
         self.stride_in_samples = self.npart * self.nsamp_step
@@ -940,10 +943,15 @@ class FoldPipeline:
             d = fourth_moment(d)
         nchan, npol = d.shape[0], d.shape[1]
         ndat_out = d.shape[2]
-        nuse = (ndat_out // self.fold_plan.seg_len) * self.fold_plan.seg_len
-        dump = (jnp.transpose(d[..., :nuse], (2, 0, 1)).astype(jnp.float32)
+        # every output sample folds: the trailing partial segment is padded
+        # to seg_len with zero WEIGHTS (the reference folds whole blocks,
+        # Fold.C:835-873; zero weight == excluded sample)
+        seg = self.fold_plan.seg_len
+        nuse = -(-ndat_out // seg) * seg
+        pad = nuse - ndat_out
+        dump = (jnp.transpose(d, (2, 0, 1)).astype(jnp.float32)
                 if self.config.dump_path else None)
-        weights = self._stream_weights(w, nchan, nuse, chan_ix=chan_ix,
+        weights = self._stream_weights(w, nchan, ndat_out, chan_ix=chan_ix,
                                        n_chan_shards=n_chan_shards)
         if self.sk_plan is not None:
             if isinstance(y, tuple):
@@ -952,27 +960,31 @@ class FoldPipeline:
                 power = y * y
             nblk = ndat_out // self.sk_plan.M
             skw = expand_mask(sk_mask(power, self.sk_plan, nblk), self.sk_plan.M)
-            pad = ndat_out - skw.shape[-1]
-            if pad > 0:
+            skpad = ndat_out - skw.shape[-1]
+            if skpad > 0:
                 # trailing partial SK cell keeps weight 1
                 skw = jnp.concatenate(
-                    [skw, jnp.ones((nchan, pad), jnp.float32)], axis=-1)
-            weights = weights * skw[:, :nuse]
+                    [skw, jnp.ones((nchan, skpad), jnp.float32)], axis=-1)
+            weights = weights * skw[:, :ndat_out]
+        if pad:
+            d = jnp.concatenate(
+                [d, jnp.zeros((*d.shape[:2], pad), d.dtype)], axis=-1)
+            weights = jnp.concatenate(
+                [weights, jnp.zeros((weights.shape[0], pad), jnp.float32)],
+                axis=-1)
         if isinstance(profiles, (tuple, list)):
             # multi-pulsar: one fold per source over the shared detected
             # stream, each with ITS OWN nbin (phi0/dphi are [nsrc, nseg])
             ps, hs = [], []
             for s in range(len(profiles)):
-                p_, h_ = fold_block(profiles[s], hits[s], d[..., :nuse],
-                                    weights, phi0[s], dphi[s],
-                                    self.fold_plans[s])
+                p_, h_ = fold_block(profiles[s], hits[s], d, weights,
+                                    phi0[s], dphi[s], self.fold_plans[s])
                 ps.append(p_)
                 hs.append(h_)
             out = (tuple(ps), tuple(hs))
         else:
             out = fold_block(
-                profiles, hits, d[..., :nuse], weights, phi0, dphi,
-                self.fold_plan)
+                profiles, hits, d, weights, phi0, dphi, self.fold_plan)
         extras = []
         if dump is not None:
             extras.append(dump)
@@ -1072,7 +1084,11 @@ class FoldPipeline:
         start = seek
         nblocks = 0
         tsamp_out = 1.0 / self.obs_out.rate
-        nuse = (self.out_per_block // self.fold_plan.seg_len) * self.fold_plan.seg_len
+        seg = self.fold_plan.seg_len
+        # anchors cover the zero-weight-padded tail segment; the actual
+        # folded sample count is exactly out_per_block (nothing dropped)
+        nuse_pad = -(-self.out_per_block // seg) * seg
+        nuse = self.out_per_block
         bps = 1 if self._megastep is not None else self.config.blocks_per_step
 
         while start + self.block_in_samples <= nsamp_total:
@@ -1091,15 +1107,14 @@ class FoldPipeline:
                     self._byte_counts += np.bincount(raw, minlength=256)
                 with rep.stage("anchors"):
                     if len(self.predictors) > 1:
-                        pairs = [compute_anchors(p, t_out0, tsamp_out, nuse,
-                                                 self.fold_plan.seg_len)
+                        pairs = [compute_anchors(p, t_out0, tsamp_out,
+                                                 nuse_pad, seg)
                                  for p in self.predictors]
                         phi0 = np.stack([a for a, _ in pairs])
                         dphi = np.stack([b for _, b in pairs])
                     else:
                         phi0, dphi = compute_anchors(
-                            self.predictor, t_out0, tsamp_out, nuse,
-                            self.fold_plan.seg_len)
+                            self.predictor, t_out0, tsamp_out, nuse_pad, seg)
                 phi0 = (phi0 - self.config.reference_phase) % 1.0
                 batch.append((raw, phi0, dphi, t_out0))
                 start += self.stride_in_samples

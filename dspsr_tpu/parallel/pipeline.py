@@ -302,8 +302,11 @@ class ShardedFoldPipeline:
 
         tsamp_out = 1.0 / inner.obs_out.rate
         seg = inner.fold_plan.seg_len
-        nuse = (inner.out_per_block // seg) * seg
-        nseg = nuse // seg
+        # anchors cover the padded tail segment; folded samples per shard
+        # are exactly out_per_block
+        nuse_pad = -(-inner.out_per_block // seg) * seg
+        nuse = inner.out_per_block
+        nseg = nuse_pad // seg
         start = seek
         nsb = 0
         while start + self.superblock_samples <= nsamp_total:
@@ -345,7 +348,7 @@ class ShardedFoldPipeline:
             dphi = np.empty((self.n_time, nseg), np.float32)
             for i, t0 in enumerate(t0s):
                 p0, dp = compute_anchors(inner.predictor, t0, tsamp_out,
-                                         nuse, seg)
+                                         nuse_pad, seg)
                 phi0[i] = (p0 - cfg.reference_phase) % 1.0
                 dphi[i] = dp
 

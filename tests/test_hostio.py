@@ -201,7 +201,7 @@ class TestLivePipeline:
             w.close(unlink=True)
 
         nchan = res_live.obs.nchan
-        nuse = (pipe.out_per_block // pipe.fold_plan.seg_len) \
+        nuse = -(-pipe.out_per_block // pipe.fold_plan.seg_len) \
             * pipe.fold_plan.seg_len
         nblocks_live = int(round(res_live.hits.sum() / (nchan * nuse)))
         assert nblocks_live >= 2
