@@ -225,9 +225,12 @@ class FilPipeline:
         import os as _os
 
         self.megafil_plan = None
+        # 2-bit stays on the XLA chain here: search-mode excision zeroes
+        # the detected samples via weights, which the fused front end does
+        # not carry (the fold-mode megakernel folds weights into its one-hot)
         if (self.pfb_plan is None
                 and "DSPSR_TPU_NO_MEGA" not in _os.environ
-                and obs.nchan == 1 and obs.nbit == 8
+                and obs.nbit in (4, 8)
                 and cfg.npol_out == 1 and cfg.poln_select is None
                 and self.fb_plan.freq_res > 1):
             from ..ops.megakernel import MegaPlan
@@ -235,7 +238,8 @@ class FilPipeline:
 
             mp = MegaPlan.from_filterbank(self.fb_plan, nbin=2,
                                           npol=obs.npol, npol_out=1,
-                                          nbit=obs.nbit)
+                                          nbit=obs.nbit,
+                                          nchan_in=obs.nchan)
             if mp is not None and (mp.row_len >= 128
                                    or _jax.default_backend() == "cpu"):
                 self.megafil_plan = mp

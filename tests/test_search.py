@@ -356,3 +356,46 @@ class TestChainCompleteness:
         hdus = read_fits_headers(path)
         sub = [h for h in hdus if h.get("EXTNAME", "").strip("' ") == "SUBINT"][0]
         assert int(sub["NAXIS2"]) == 64
+
+
+class TestMultichanMegafil:
+    def test_multichannel_fused_front_end(self, tmp_path, monkeypatch):
+        """A multi-channel 8-bit complex stream (GUPPI shape) engages the
+        fused search front end; the detected filterbank matches the XLA
+        chain run at the SAME geometry."""
+        import dataclasses
+        import jax.numpy as jnp
+        from dspsr_tpu.observation import Observation, Signal
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fil import FilConfig, FilPipeline
+        from dspsr_tpu.ops.filterbank import FilterbankPlan, filterbank_block
+        from dspsr_tpu.ops.detection import detect
+        from dspsr_tpu.unpack.unpackers import unpack_fixed
+
+        rng = np.random.default_rng(17)
+        obs = Observation(nchan=2, npol=2, ndim=2, nbit=8,
+                          centre_frequency=1400.0, bandwidth=-4.0, rate=1e6,
+                          start_time=MJD(55000, 0.1), state=Signal.ANALYTIC,
+                          source="X", telescope="PKS", instrument="RAW")
+        raw = rng.integers(0, 256, 1 << 18).astype(np.uint8)
+        p = str(tmp_path / "mcf.raw")
+        open(p, "wb").write(raw.tobytes())
+        cfg = FilConfig(nchan=8, dispersion_measure=4.0, nbits=8,
+                        frequency_resolution=512,
+                        min_block_samples=0, block_parts=2)
+        pipe = FilPipeline(RawFileSource(p, obs), cfg)
+        assert pipe.megafil_plan is not None
+        assert pipe.megafil_plan.nchan_in == 2
+
+        block = raw[: int(pipe.block_in_samples
+                          * obs.nbytes_per_sample)]
+        d_mega = np.asarray(pipe._megafil(jnp.asarray(block)))
+        # XLA chain at the megafil-rounded geometry
+        x = unpack_fixed(jnp.asarray(block), 8, 2, 2, 2)
+        rr, ri = pipe._response_natural
+        y = filterbank_block(x, pipe.fb_plan, pipe.npart, (rr, ri))
+        d_ref = np.asarray(detect(y, pipe.det_state))  # [nchan, 1, ndat]
+        assert d_mega.shape == d_ref.shape
+        rel = np.abs(d_mega - d_ref).max() / np.abs(d_ref).max()
+        assert rel < 2e-4, rel
