@@ -328,7 +328,8 @@ def _run_plfb(args, src) -> int:
     elif args.polyco:
         pred = Polyco.load(args.polyco)
     elif args.ephemeris:
-        pred = SpinPredictor.from_ephemeris(Ephemeris.load(args.ephemeris))
+        pred = SpinPredictor.from_ephemeris(
+            Ephemeris.load(args.ephemeris), telescope=src.obs.telescope)
     else:
         print("dspsr-tpu: PLFB mode needs -c, -P or -E", file=sys.stderr)
         return 1

@@ -293,7 +293,8 @@ class FoldPipeline:
         if s.endswith(".par"):
             from ..timing.polyco import SpinPredictor
 
-            return SpinPredictor.from_ephemeris(Ephemeris.load(s))
+            return SpinPredictor.from_ephemeris(
+                Ephemeris.load(s), telescope=obs.telescope)
         from ..timing.t2pred import T2Predictor, load_predictor
 
         p = load_predictor(s)
@@ -320,7 +321,8 @@ class FoldPipeline:
             # no external TEMPO available: evaluate the ephemeris spin model
             # directly (see SpinPredictor docstring for validity bounds)
             from ..timing.polyco import SpinPredictor
-            self.predictor = SpinPredictor.from_ephemeris(self.ephemeris)
+            self.predictor = SpinPredictor.from_ephemeris(
+                self.ephemeris, telescope=obs.telescope)
         elif obs.mode == "CAL" and obs.calfreq > 0:
             # CAL-mode folding: fold at the pulsed-cal square-wave frequency
             # (reference Fold::prepare CAL branch, Fold.C:190-227)

@@ -19,14 +19,15 @@ barycentring chain:
 - Earth orbit model error ~0.01 deg      -> |delay| error  <~ 90 ms
 - heliocentre vs true SSB (Jupiter etc.) -> |delay| error  <~ 5 s,
   but drifting only at the Sun's reflex velocity (~13 m/s)
-- geocentre vs observatory (no site model) -> <~ 21 ms daily sinusoid
+- observatory site: diurnal term modelled from a built-in obsys table
+  (spherical Earth; flattening -> <~ 70 us); unknown telescopes fall back
+  to the geocentre (<~ 21 ms daily sinusoid)
 - Einstein + Shapiro delays omitted      -> <~ 2 ms
 
 What folding needs is the DERIVATIVE accuracy (apparent-frequency error):
-the terms above contribute fractional frequency errors of ~2e-8, 4e-8 and
-1.5e-6 respectively — a worst-case drift of ~0.1 turns over a 10-minute
-fold of a 100 Hz pulsar from the (documented) missing site velocity, and
-~1e-2 turns from everything else.  That converts a .par-only fold from
+the terms above contribute fractional frequency errors of ~2e-8 to ~7e-8
+(measured residual vs TEMPO's Parkes vela.polyco: ~7e-8 fractional with
+the site term, ~1e-6 without).  That converts a .par-only fold from
 "wrong by many turns" to "sharp, with a slowly drifting absolute phase";
 for timing-grade absolute phase, supply a polyco/T2 predictor (-P).
 """
@@ -76,31 +77,83 @@ def earth_position_au(mjd_utc: float) -> np.ndarray:
     return np.array([-xs, -ys, -zs])
 
 
+#: geodetic observatory coordinates (lat deg, east lon deg, alt m) for the
+#: telescope codes the Observation layer uses (the role of TEMPO's
+#: obsys.dat); kilometre-level accuracy suffices (micro-second delay terms)
+OBSERVATORIES = {
+    "PKS": (-32.9984, 148.2635, 415.0),      # Parkes
+    "PARKES": (-32.9984, 148.2635, 415.0),
+    "GBT": (38.4330, -79.8398, 824.0),       # Green Bank
+    "AO": (18.3442, -66.7528, 497.0),        # Arecibo
+    "ARECIBO": (18.3442, -66.7528, 497.0),
+    "JB": (53.2367, -2.3071, 86.0),          # Jodrell Bank
+    "JODRELL": (53.2367, -2.3071, 86.0),
+    "EFF": (50.5248, 6.8836, 369.0),         # Effelsberg
+    "EFFELSBERG": (50.5248, 6.8836, 369.0),
+    "VLA": (34.0790, -107.6184, 2124.0),
+    "NANCAY": (47.3800, 2.1975, 150.0),
+    "MEERKAT": (-30.7130, 21.4430, 1054.0),
+    "GMRT": (19.0965, 74.0497, 650.0),
+    "WSRT": (52.9146, 6.6033, 16.0),
+}
+
+_EARTH_R_AU = 6378.137e3 / 1.495978707e11  # equatorial radius in AU
+
+
+def gmst_rad(mjd_utc: float) -> float:
+    """Greenwich mean sidereal time (rad), IAU 1982-style linear form
+    (UT1-UTC neglected: <0.9 s of rotation ~ <0.4 km of site motion)."""
+    d = mjd_utc - 51544.5
+    return math.radians((280.46061837 + 360.98564736629 * d) % 360.0)
+
+
+def observatory_position_au(mjd_utc: float, lat_deg: float, lon_deg: float,
+                            alt_m: float) -> np.ndarray:
+    """Observatory position relative to the GEOCENTRE, equatorial frame,
+    AU (spherical Earth: the ~21 km geodetic flattening term is ~70 us of
+    delay, below the orbit model's error)."""
+    lat = math.radians(lat_deg)
+    theta = gmst_rad(mjd_utc) + math.radians(lon_deg)  # local sidereal
+    r = _EARTH_R_AU + alt_m / 1.495978707e11
+    return np.array([r * math.cos(lat) * math.cos(theta),
+                     r * math.cos(lat) * math.sin(theta),
+                     r * math.sin(lat)])
+
+
 class SSBDelay:
     """Roemer delay callable for one sky direction.
 
     ``delay(t)`` returns seconds to ADD to a topocentric MJD to get the
     barycentric arrival time (positive when the Earth is displaced toward
-    the pulsar, i.e. pulses arrive early).
+    the pulsar, i.e. pulses arrive early).  With a known telescope the
+    observatory's diurnal term rides on top of the orbital one (the
+    site-velocity Doppler, ~1.5e-6 fractional, dominates the .par-fold
+    residual otherwise).
     """
 
-    def __init__(self, ra_rad: float, dec_rad: float):
+    def __init__(self, ra_rad: float, dec_rad: float,
+                 telescope: str | None = None):
         self.n = np.array([
             math.cos(dec_rad) * math.cos(ra_rad),
             math.cos(dec_rad) * math.sin(ra_rad),
             math.sin(dec_rad),
         ])
+        self.site = OBSERVATORIES.get((telescope or "").upper())
 
     @classmethod
-    def from_strings(cls, raj: str, decj: str) -> "SSBDelay":
+    def from_strings(cls, raj: str, decj: str,
+                     telescope: str | None = None) -> "SSBDelay":
         from .skycoord import SkyCoord
 
         c = SkyCoord.parse(raj, decj)
-        return cls(c.ra_rad, c.dec_rad)
+        return cls(c.ra_rad, c.dec_rad, telescope)
 
     def delay(self, t: MJD) -> float:
         mjd = t.days + t.fracday()
-        return float(earth_position_au(mjd) @ self.n) * AU_LIGHT_S
+        r = earth_position_au(mjd)
+        if self.site is not None:
+            r = r + observatory_position_au(mjd, *self.site)
+        return float(r @ self.n) * AU_LIGHT_S
 
     def delay_rate(self, t: MJD) -> float:
         """d(delay)/dt — the orbital Doppler factor v.n/c (dimensionless),

@@ -235,12 +235,11 @@ class SpinPredictor:
     a .par file is given: the reference shells out to TEMPO/TEMPO2 to turn
     the ephemeris into a polyco (``Fold.C:229-267``); here the spin model is
     evaluated at the BARYCENTRIC arrival time via the analytic solar-system
-    Roemer delay (``timing/barycentre.py``) when the ephemeris carries
-    RAJ/DECJ (cross-checked 38x closer to TEMPO's vela.polyco apparent
-    frequency than the raw topocentric model).  Remaining error is the
-    observatory site velocity (~1.5e-6 fractional; no site model) plus
-    analytic-orbit terms — fine for folding, not for timing-grade absolute
-    phase; supply a polyco/T2 predictor (-P) for that.
+    Roemer delay + observatory diurnal term (``timing/barycentre.py``) when
+    the ephemeris carries RAJ/DECJ (cross-checked ~500x closer to TEMPO's
+    Parkes vela.polyco apparent frequency than the raw topocentric model;
+    residual ~7e-8 fractional).  Fine for folding, not for timing-grade
+    absolute phase; supply a polyco/T2 predictor (-P) for that.
     """
 
     def __init__(self, f0: float, f1: float = 0.0, f2: float = 0.0,
@@ -262,7 +261,8 @@ class SpinPredictor:
         self.ssb = ssb
 
     @classmethod
-    def from_ephemeris(cls, eph, barycentre: bool = True) -> "SpinPredictor":
+    def from_ephemeris(cls, eph, barycentre: bool = True,
+                       telescope: str | None = None) -> "SpinPredictor":
         from . import binary as binary_mod
 
         f2 = eph.get("F2")
@@ -273,7 +273,8 @@ class SpinPredictor:
                 from .barycentre import SSBDelay
 
                 try:
-                    ssb = SSBDelay.from_strings(str(raj), str(decj))
+                    ssb = SSBDelay.from_strings(str(raj), str(decj),
+                                                telescope=telescope)
                 except ValueError:
                     ssb = None
         return cls(eph.f0, eph.f1, float(f2) if f2 else 0.0, eph.pepoch,

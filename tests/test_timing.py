@@ -207,3 +207,39 @@ class TestBarycentre:
         assert err_b < err_t / 5.0, (err_b, err_t)
         # residual budget: site velocity (~1.5e-6 frac) + model terms
         assert err_b < 5e-5 * 11.19, err_b
+
+    def test_site_velocity_term_improves_vs_tempo(self):
+        """Adding the Parkes diurnal (site-velocity) term cuts the residual
+        vs TEMPO's Parkes-specific polyco by another order of magnitude."""
+        from dspsr_tpu.timing.par import Ephemeris
+        from dspsr_tpu.timing.polyco import Polyco, SpinPredictor
+        from dspsr_tpu.timing.mjd import MJD
+
+        eph = Ephemeris.load("/root/reference/Benchmark/vela.par")
+        pc = Polyco.load("/root/reference/Benchmark/vela.polyco")
+        errs_g, errs_s = [], []
+        for k in range(9):
+            t = MJD(55299, (0.104166 + k * 0.007) * 86400.0)
+            f_ref = pc.frequency(t)
+            errs_g.append(abs(SpinPredictor.from_ephemeris(
+                eph).frequency(t) - f_ref))
+            errs_s.append(abs(SpinPredictor.from_ephemeris(
+                eph, telescope="PKS").frequency(t) - f_ref))
+        assert max(errs_s) < max(errs_g) / 5.0
+        assert max(errs_s) < 2e-6  # ~1e-7 fractional on Vela
+
+    def test_observatory_position_geometry(self):
+        from dspsr_tpu.timing.barycentre import (observatory_position_au,
+                                                 OBSERVATORIES,
+                                                 _EARTH_R_AU)
+        import numpy as np
+
+        lat, lon, alt = OBSERVATORIES["PKS"]
+        r0 = observatory_position_au(55000.0, lat, lon, alt)
+        assert abs(np.linalg.norm(r0) - _EARTH_R_AU) < 0.01 * _EARTH_R_AU
+        # one sidereal day later the site returns to the same place
+        r1 = observatory_position_au(55000.0 + 0.9972696, lat, lon, alt)
+        assert np.linalg.norm(r1 - r0) < 0.01 * _EARTH_R_AU
+        # half a sidereal day: the equatorial components flip
+        rh = observatory_position_au(55000.0 + 0.4986, lat, lon, alt)
+        assert np.dot(rh[:2], r0[:2]) < 0
