@@ -582,10 +582,12 @@ class FoldPipeline:
         if self._mega_eligible():
             from ..ops.megakernel import MegaPlan
 
+            det_np, det_tag = self._mega_detection()
             mp = MegaPlan.from_filterbank(
-                self.fb_plan, self.nbin, obs.npol, cfg.npol_out, obs.nbit,
+                self.fb_plan, self.nbin, obs.npol, det_np, obs.nbit,
                 nchan_in=obs.nchan,
-                ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0))
+                ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0),
+                detection=det_tag, fourth_moment=cfg.fourth_moment)
             if mp is not None and mp.row_len < 128 \
                     and jax.default_backend() != "cpu":
                 # Mosaic DMA slices need 128-lane-aligned rows; tiny
@@ -619,9 +621,16 @@ class FoldPipeline:
             import os as _os
             dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
                 _os.environ.get("DSPSR_TPU_MEGA_DTYPE", "f32")]
+            if cfg.fft_window:
+                from ..ops.apodization import WindowType, build_window
+
+                win = build_window(WindowType(cfg.fft_window),
+                                   self.mega_plan.nsamp_fft)
+            else:
+                win = None
             cst = MegaConstants(self.mega_plan, resp, dtype=dt,
                                 unpack_scale=scale, unpack_offset=offset,
-                                twobit=self.unpack_plan.twobit)
+                                twobit=self.unpack_plan.twobit, window=win)
             self._megastep = build_megastep(self.mega_plan, cst, self.npart)
 
         # --- apodization window (built at the final FFT geometry) ---
@@ -646,10 +655,10 @@ class FoldPipeline:
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
         nsrc = len(self.predictors)
         if self.mega_plan is not None:
-            # kernel layout: per input channel x [npol_out, nsub, nbin]
+            # kernel layout: per input channel x [nplane, nsub, nbin]
             # profiles + per input channel hits
             self._profiles = jnp.zeros(
-                (self.obs_in.nchan, self.mega_plan.npol_out,
+                (self.obs_in.nchan, self.mega_plan.nplane,
                  self.mega_plan.nsub, self.nbin), jnp.float32)
             self._hits = jnp.zeros((self.obs_in.nchan, self.nbin),
                                    jnp.float32)
@@ -676,17 +685,29 @@ class FoldPipeline:
         self._byte_counts = np.zeros(256, np.int64)
         self._passband = None
 
+    def _mega_detection(self):
+        """(npol_out planes before fourth moments, kernel detection tag)
+        for the resolved detection state."""
+        np_map = {Signal.INTENSITY: 1, Signal.PP: 1, Signal.QQ: 1,
+                  Signal.PPQQ: 2, Signal.COHERENCE: 4, Signal.STOKES: 4}
+        tag = {Signal.PP: "pp", Signal.QQ: "qq",
+               Signal.COHERENCE: "coherence"}.get(self.det_state, "auto")
+        return np_map[self.det_state], tag
+
     def _mega_eligible(self) -> bool:
         """The fused Pallas step covers real or analytic 2/4/8-bit input
         (single- or multi-channel, e.g. GUPPI RAW / VDIF baseband) through
-        the convolving filterbank into a detected fold — including 2-bit
-        JA98 dynamic-level unpacking with excision weights folded into the
-        fused fold.  Anything needing in-stream statistics (SK), taps or
-        exotic ops uses the general XLA path."""
+        the convolving filterbank into a detected fold — any detection
+        state (Intensity/PPQQ/PP/QQ/Coherence/Stokes), fourth moments,
+        apodization windows, and 2-bit JA98 dynamic-level unpacking with
+        excision weights folded into the fused fold.  Anything needing
+        in-stream statistics (SK), taps or exotic ops uses the general XLA
+        path."""
         import os
 
         cfg = self.config
         obs = self.obs_in
+        det_np, _ = self._mega_detection()
         return (
             cfg.use_megakernel
             and "DSPSR_TPU_NO_MEGA" not in os.environ
@@ -700,14 +721,12 @@ class FoldPipeline:
             and self.sk_plan is None
             and self.cyclic_plan is None
             and self._jones_fftorder is None
-            and not cfg.fourth_moment
             and not cfg.rfi_filter
             and not cfg.dump_path
-            and cfg.detection is None  # PP/QQ/COHERENCE run the XLA chain
-            and cfg.npol_out in (1, 2, 4)
-            and (cfg.npol_out == 1 or obs.npol == 2)
+            and (det_np == 1 or obs.npol == 2)
+            and (self.det_state not in (Signal.PP, Signal.QQ)
+                 or obs.npol == 2)
             and not cfg.additional_pulsars
-            and not cfg.fft_window
             and not cfg.passband
         )
 

@@ -123,6 +123,14 @@ class MegaPlan:
     #: samples per JA98 correction/excision block; > 0 enables the in-kernel
     #: dynamic-level 2-bit unpack + excision-weight path (nbit must be 2)
     npw: int = 0
+    #: detection state ("Detection::set_output_state", Detection.C:42-66):
+    #: "auto" maps npol_out 1/2/4 -> Intensity/PPQQ/Stokes; "pp"/"qq" fold
+    #: one polarization's power (npol_out=1); "coherence" folds
+    #: PP, QQ, Re[p*q], Im[p*q] (npol_out=4, cross_detect.ic:36-40)
+    detection: str = "auto"
+    #: fold the 10 unique second-order Stokes products S_i*S_j too
+    #: (FourthMoment.C, dspsr -4): 4 + 10 = 14 planes per subband
+    fourth_moment: bool = False
 
     @property
     def n_fft(self) -> int:
@@ -175,6 +183,12 @@ class MegaPlan:
         """Rows of the per-block level arrays per input row (npw blocks)."""
         return self.row_len // self.npw if self.npw else 0
 
+    @property
+    def nplane(self) -> int:
+        """Folded planes per subband (npol_out, or 14 with fourth moments:
+        the Stokes vector plus its 10 unique second-order products)."""
+        return 14 if self.fourth_moment else self.npol_out
+
     def block_ndat(self, npart: int) -> int:
         """Input time samples per block PER INPUT CHANNEL."""
         return (npart * self.nsamp_step
@@ -198,6 +212,16 @@ class MegaPlan:
             raise ValueError("npol_out must be 1, 2 or 4")
         if self.npol_out > 1 and self.npol != 2:
             raise ValueError("PPQQ/Stokes need npol == 2")
+        if self.detection not in ("auto", "pp", "qq", "coherence"):
+            raise ValueError(f"unknown detection: {self.detection}")
+        if self.detection in ("pp", "qq") and (
+                self.npol_out != 1 or self.npol != 2):
+            raise ValueError("pp/qq detection needs npol == 2, npol_out == 1")
+        if self.detection == "coherence" and self.npol_out != 4:
+            raise ValueError("coherence detection needs npol_out == 4")
+        if self.fourth_moment and (
+                self.npol_out != 4 or self.detection != "auto"):
+            raise ValueError("fourth moments need Stokes (npol_out=4, auto)")
         if self.nbit not in (2, 4, 8, 32):
             raise ValueError("nbit must be 2, 4, 8 or 32")
         if self.npw:
@@ -230,7 +254,9 @@ class MegaPlan:
     def from_filterbank(cls, fb_plan, nbin: int, npol: int,
                         npol_out: int = 1, nbit: int = 8,
                         nchan_in: int = 1,
-                        ndat_per_weight: int = 0) -> Optional["MegaPlan"]:
+                        ndat_per_weight: int = 0,
+                        detection: str = "auto",
+                        fourth_moment: bool = False) -> Optional["MegaPlan"]:
         """Build from an ops.filterbank.FilterbankPlan; None if ineligible.
 
         ``ndat_per_weight``: pass the excision block length for 2-bit input
@@ -252,7 +278,7 @@ class MegaPlan:
                    nfilt_pos=fb_plan.nfilt_pos, nfilt_neg=nfilt_neg,
                    nbin=nbin, npol=npol, npol_out=npol_out, nbit=nbit,
                    real_input=fb_plan.real_input, nchan_in=nchan_in,
-                   npw=npw)
+                   npw=npw, detection=detection, fourth_moment=fourth_moment)
         if plan.nkeep <= 0:
             return None
         if nbit == 2 and (npw <= 0 or plan.row_len % npw):
@@ -266,7 +292,8 @@ class MegaConstants:
 
     def __init__(self, plan: MegaPlan, response_natural: Optional[np.ndarray],
                  dtype=np.float32, unpack_scale: float = 1.0,
-                 unpack_offset: float = 0.0, twobit=None):
+                 unpack_offset: float = 0.0, twobit=None,
+                 window: Optional[np.ndarray] = None):
         p = plan
         R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
         N, M = p.n_fft, p.freq_res
@@ -359,6 +386,20 @@ class MegaConstants:
             self.expand = c(ex)
         else:
             self.expand = None
+
+        # apodization window (dsp::Apodization applied before the forward
+        # FFT, Convolution.C:379-387): window sample n of the nsamp_fft
+        # window sits at plane position [n1, m] with n = n1*row_len + m, so
+        # the taper is one [R1, row_len] elementwise constant multiplied
+        # into each loaded window plane (real samples, or both components
+        # of a complex sample, identically)
+        if window is not None:
+            w = np.asarray(window, np.float64).reshape(-1)
+            if w.size != p.nsamp_fft:
+                raise ValueError("window length != nsamp_fft")
+            self.apod = c(w.reshape(p.R1, p.row_len))
+        else:
+            self.apod = None
 
     def as_jax(self):
         names = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
@@ -487,7 +528,7 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
     U = cst.ur.astype(np.float64) + 1j * cst.ui.astype(np.float64)
     V = cst.vr.astype(np.float64) + 1j * cst.vi.astype(np.float64)
 
-    profiles = np.zeros((p.nchan_in, p.npol_out, nsub, p.nbin))
+    profiles = np.zeros((p.nchan_in, p.nplane, nsub, p.nbin))
     hits = np.zeros((p.nchan_in, p.nbin))
     for ci in range(p.nchan_in):
         for w in range(npart):
@@ -496,6 +537,8 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
                 win = x[ci, pol,
                         w * p.nsamp_step: w * p.nsamp_step + p.nsamp_fft]
                 Wm = win.reshape(R1, -1)  # [n1, m] (m = 2*R2 real, R2 cplx)
+                if cst.apod is not None:
+                    Wm = Wm * cst.apod.astype(np.float64)
                 S = np.einsum("nm,nk->mk", Wm, W1)         # [mult*R2, R1]
                 C = S * T_                                  # twiddle
                 X = np.einsum("mk,mj->kj", C, E)            # [R1, R2]
@@ -505,15 +548,30 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
                 F = np.einsum("kr,kc->rc", C2, V)           # [R2, R1]
                 Fpols.append(F)
             # detection in permuted layout
-            if p.npol_out == 1:
+            if p.detection == "pp":
+                planes = [np.abs(Fpols[0]) ** 2]
+            elif p.detection == "qq":
+                planes = [np.abs(Fpols[1]) ** 2]
+            elif p.npol_out == 1:
                 planes = [sum(np.abs(F) ** 2 for F in Fpols)]
             elif p.npol_out == 2:
                 planes = [np.abs(Fpols[0]) ** 2, np.abs(Fpols[1]) ** 2]
+            elif p.detection == "coherence":
+                # PP, QQ, Re[p* q], Im[p* q] (cross_detect.ic:36-40)
+                pp = np.abs(Fpols[0]) ** 2
+                qq = np.abs(Fpols[1]) ** 2
+                cross = np.conj(Fpols[0]) * Fpols[1]
+                planes = [pp, qq, cross.real, cross.imag]
             else:  # Stokes I,Q,U,V with U+iV = 2 p* q (stokes_detect.ic)
                 pp = np.abs(Fpols[0]) ** 2
                 qq = np.abs(Fpols[1]) ** 2
                 cross = np.conj(Fpols[0]) * Fpols[1]
                 planes = [pp + qq, pp - qq, 2 * cross.real, 2 * cross.imag]
+            if p.fourth_moment:
+                # S then the 10 unique S_i*S_j (FourthMoment.C plane order,
+                # ops.fourth_moment.PAIRS)
+                planes = planes + [planes[i] * planes[j]
+                                   for i in range(4) for j in range(i, 4)]
             # fold (window weight folded into the one-hot)
             for j1 in range(q):
                 k2p = np.arange(R1)
@@ -614,11 +672,16 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
     p.validate()
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
     nbin, npol, npol_out = p.nbin, p.npol, p.npol_out
+    nplane = p.nplane
     nchan, ndim = p.nchan_in, p.ndim
     totrows = p.total_rows(npart)
     consts = cst.as_jax()
     scale, offset = cst.unpack_scale, cst.unpack_offset
     has_lohi = bool(p.npw)
+    has_apod = cst.apod is not None
+    # pp/qq detection folds ONE polarization's power: the other pol's FFT
+    # is never computed (half the MXU work, Detection.C PP_State/QQ_State)
+    pols = {"pp": (0,), "qq": (1,)}.get(p.detection, tuple(range(npol)))
     if interpret is None:
         # Mosaic compiles for real TPU backends (incl. the tunneled one);
         # interpret only on CPU (tests)
@@ -646,6 +709,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         (w1r, w1i, tr, ti, er, ei, gr, gi,
          mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(15))
         expand = next(it) if has_lohi else None
+        apod = next(it) if has_apod else None
         prof_in = next(it)
         hits_in = next(it)
         prof_out = next(it)
@@ -697,15 +761,20 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             is_low = jnp.logical_or(v == f32(1), v == f32(2))
             return sign * jnp.where(is_low, lo_exp, hi_exp)
 
-        for pol in range(npol):
+        for pol in pols:
             if p.real_input:
                 wm = load_plane(pol, 0)
+                if has_apod:
+                    wm = wm * apod[...]
                 # real-input stage 1: real x complex DFT (2 matmuls)
                 sr = dot00(wm, w1r[...])
                 si = dot00(wm, w1i[...])
             else:
                 ar = load_plane(pol, 0)
                 ai = load_plane(pol, 1)
+                if has_apod:
+                    ar = ar * apod[...]
+                    ai = ai * apod[...]
                 # complex-input stage 1 (4 matmuls)
                 sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
                 si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
@@ -723,7 +792,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             fi = dot00(c2r, vi[...]) + dot00(c2i, vr[...])
             if npol_out == 1:
                 pw = fr * fr + fi * fi
-                if pol == 0:
+                if pol == pols[0]:
                     pacc[...] = pw
                 else:
                     pacc[...] = pacc[...] + pw
@@ -737,12 +806,21 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             planes = [xacc[0] * xacc[0] + xacc[1] * xacc[1],
                       xacc[2] * xacc[2] + xacc[3] * xacc[3]]
         else:
-            # U + iV = 2 p* q (stokes_detect.ic:38-43)
             pp = xacc[0] * xacc[0] + xacc[1] * xacc[1]
             qq = xacc[2] * xacc[2] + xacc[3] * xacc[3]
             re = xacc[0] * xacc[2] + xacc[1] * xacc[3]
             im = xacc[0] * xacc[3] - xacc[1] * xacc[2]
-            planes = [pp + qq, pp - qq, 2 * re, 2 * im]
+            if p.detection == "coherence":
+                # PP, QQ, Re[p* q], Im[p* q] (cross_detect.ic:36-40)
+                planes = [pp, qq, re, im]
+            else:
+                # U + iV = 2 p* q (stokes_detect.ic:38-43)
+                planes = [pp + qq, pp - qq, 2 * re, 2 * im]
+        if p.fourth_moment:
+            # the 10 unique S_i*S_j products (FourthMoment.C; -4):
+            # pure VPU elementwise on the already-detected Stokes planes
+            planes = planes + [planes[i] * planes[j]
+                               for i in range(4) for j in range(i, 4)]
 
         phi0 = phi0_ref[w, 0]
         dphi = dphi_ref[w, 0]
@@ -797,7 +875,9 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if has_lohi:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # expand
-    in_specs.append(pl.BlockSpec((1, npol_out, nsub, nbin),
+    if has_apod:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # apod
+    in_specs.append(pl.BlockSpec((1, nplane, nsub, nbin),
                                  lambda c, w: (c, 0, 0, 0),
                                  memory_space=pltpu.VMEM))  # prof_in
     # hits ride as [nchan, 1, nbin] so the per-channel block's LAST TWO
@@ -806,7 +886,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
                                  memory_space=pltpu.VMEM))  # hits_in
 
     out_specs = [
-        pl.BlockSpec((1, npol_out, nsub, nbin), lambda c, w: (c, 0, 0, 0),
+        pl.BlockSpec((1, nplane, nsub, nbin), lambda c, w: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, nbin), lambda c, w: (c, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -818,7 +898,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         pltpu.VMEM((R2, R1), jnp.float32),        # pacc
         pltpu.VMEM((2 * p.npol if npol_out > 1 else 1, R2, R1),
                    jnp.float32),                  # voltage planes
-        pltpu.VMEM((npol_out, nsub, nbin), jnp.float32),
+        pltpu.VMEM((nplane, nsub, nbin), jnp.float32),
         pltpu.VMEM((1, nbin), jnp.float32),
     ]
 
@@ -835,12 +915,14 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
     const_vals = [consts[n] for n in const_order]
     if has_lohi:
         const_vals.append(jnp.asarray(cst.expand))
+    if has_apod:
+        const_vals.append(jnp.asarray(cst.apod))
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nchan, npol_out, nsub, nbin), jnp.float32),
+            jax.ShapeDtypeStruct((nchan, nplane, nsub, nbin), jnp.float32),
             jax.ShapeDtypeStruct((nchan, 1, nbin), jnp.float32),
         ],
         interpret=interpret,
@@ -1030,6 +1112,8 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     const_vals = [consts[n] for n in const_order]
     if has_lohi:
         const_vals.append(jnp.asarray(cst.expand))
+    if has_apod:
+        const_vals.append(jnp.asarray(cst.apod))
 
     call = pl.pallas_call(
         kernel,

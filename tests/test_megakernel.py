@@ -664,3 +664,109 @@ def test_external_weights_reach_fused_fold(small_setup):
     pk, hk = np.asarray(pk), np.asarray(hk)
     assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
     assert np.abs(hr - hk).max() == 0
+
+
+# ---- round-3 follow-up: detection states, fourth moments, apodization ----
+
+
+@pytest.mark.parametrize("det_tag,state,npol_out,fourth,window", [
+    ("pp", Signal.PP, 1, False, None),
+    ("qq", Signal.QQ, 1, False, None),
+    ("coherence", Signal.COHERENCE, 4, False, None),
+    ("auto", Signal.STOKES, 4, True, None),       # -4 fourth moments
+    ("auto", Signal.INTENSITY, 1, False, "hanning"),
+    ("coherence", Signal.COHERENCE, 4, False, "tukey"),
+])
+def test_detection_fourthmoment_apodization(small_setup, det_tag, state,
+                                            npol_out, fourth, window):
+    """Every detection state (Detection.C:42-66), fourth moments
+    (FourthMoment.C) and pre-FFT apodization (Apodization.C) on the fused
+    path: mega_reference vs the XLA op chain, then the Pallas kernel vs
+    mega_reference."""
+    from dspsr_tpu.ops.apodization import WindowType, build_window
+    from dspsr_tpu.ops.fourth_moment import fourth_moment
+
+    plan0, fb, raw, resp, phi0, dphi = small_setup
+    plan = MegaPlan(nsub=NSUB, freq_res=FREQ_RES, R1=plan0.R1,
+                    nfilt_pos=plan0.nfilt_pos, nfilt_neg=plan0.nfilt_neg,
+                    nbin=NBIN, npol=NPOL, npol_out=npol_out,
+                    detection=det_tag, fourth_moment=fourth)
+    win = (build_window(WindowType(window), plan.nsamp_fft)
+           if window else None)
+    scale, offset = unpack_affine(8)
+    cst64 = MegaConstants(plan, resp, dtype=np.float64,
+                          unpack_scale=scale, unpack_offset=offset,
+                          window=win)
+    pr, hr = mega_reference(raw, plan, cst64, phi0, dphi, NPART)
+
+    # XLA op chain with the same (rounded) geometry
+    x = unpack_fixed(jnp.asarray(raw), 8, 1, NPOL, 1)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    from dspsr_tpu.ops.filterbank import filterbank_block
+
+    y = filterbank_block(x, fb, NPART, (rr, ri),
+                         apodization=(jnp.asarray(win) if window else None))
+    d = detect(y, state)
+    if fourth:
+        d = fourth_moment(d)
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, plan.nplane, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32),
+        jnp.asarray(d),
+        jnp.ones((NSUB, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf = np.asarray(pf)
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / \
+        np.abs(pf).max() < 5e-5
+
+    # Pallas kernel vs reference
+    cst = MegaConstants(plan, resp, dtype=np.float32,
+                        unpack_scale=scale, unpack_offset=offset, window=win)
+    step = build_megastep(plan, cst, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((1, plan.nplane, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 5e-5
+    assert np.abs(hr - hk).max() == 0
+
+
+@pytest.mark.parametrize("kw,shape_tail", [
+    (dict(detection="coherence", npol_out=4), (4, 32)),
+    (dict(fourth_moment=True, npol_out=4), (14, 32)),
+    (dict(fft_window="hanning"), (1, 32)),
+])
+def test_pipeline_mega_engages_new_configs(tmp_path, monkeypatch, kw,
+                                           shape_tail):
+    """Coherence/fourth-moment/apodized configs now ride the fused path and
+    recover the injected pulse at the same phase as the XLA chain."""
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+    period = 0.005
+    path = _write_raw(tmp_path, 1 << 15, pulse_period=period)
+    res = {}
+    for tag, nomega in (("mega", False), ("general", True)):
+        if nomega:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        src = RawFileSource(path, _obs())
+        pipe = FoldPipeline(src, _config(folding_period=period, **kw))
+        assert (pipe.mega_plan is not None) == (not nomega), kw
+        res[tag] = pipe.run()
+
+    for tag in ("mega", "general"):
+        assert res[tag].profiles.shape[2:] == shape_tail, tag
+    # plane 0 (PP / I) recovers the pulse at the same phase in both engines
+    a = res["mega"].normalized()[0, :, 0, :]
+    b = res["general"].normalized()[0, :, 0, :]
+    assert (np.argmax(a, axis=1) == np.argmax(b, axis=1)).all()
+    if kw.get("detection") == "coherence":
+        assert res["mega"].obs.state == Signal.COHERENCE
+        stokes = res["mega"].to_stokes()
+        assert stokes.profiles.shape == res["mega"].profiles.shape

@@ -382,7 +382,12 @@ class TestDetectionStates:
         path = synth_pulsar_dada(str(tmp_path / "coh.dada"), nsec=0.1)
         base = dict(folding_period=PERIOD, dispersion_measure=DM, nchan=4,
                     block_parts=2, min_block_samples=0, nbin=32)
-        rc = load_to_fold(path, FoldConfig(detection="coherence", **base))
+        # pin both runs to the XLA engine: this test asserts EXACT
+        # linearity of the coherence->Stokes conversion on one engine (the
+        # fused-path coherence fold has its own parity tests in
+        # test_megakernel.py and differs by the rounded overlap geometry)
+        rc = load_to_fold(path, FoldConfig(detection="coherence", **base,
+                                           use_megakernel=False))
         rs = load_to_fold(path, FoldConfig(npol_out=4, **base,
                                            use_megakernel=False))
         assert rc.obs.state == Signal.COHERENCE
