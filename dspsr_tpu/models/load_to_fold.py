@@ -579,6 +579,9 @@ class FoldPipeline:
         # --- megakernel fast path (ops.megakernel) ---
         self.mega_plan = None
         self._megastep = None
+        #: True when the fused path is the megafil front end + in-stream SK
+        #: + standard-layout fold (profiles/hits then use fold_block layout)
+        self._megask = False
         if self._mega_eligible():
             from ..ops.megakernel import MegaPlan
 
@@ -596,6 +599,7 @@ class FoldPipeline:
                 mp = None
             if mp is not None:
                 self.mega_plan = mp
+                self._megask = self.sk_plan is not None
                 # adopt the rounded overlap so all block geometry agrees
                 self.fb_plan = FilterbankPlan(
                     real_input=mp.real_input,
@@ -628,10 +632,37 @@ class FoldPipeline:
                                    self.mega_plan.nsamp_fft)
             else:
                 win = None
-            cst = MegaConstants(self.mega_plan, resp, dtype=dt,
-                                unpack_scale=scale, unpack_offset=offset,
-                                twobit=self.unpack_plan.twobit, window=win)
-            self._megastep = build_megastep(self.mega_plan, cst, self.npart)
+            if self._megask:
+                # fused in-stream SK: megafil front end at a detection that
+                # exposes the per-pol powers, then the SAME sk_mask +
+                # fold_block code as the XLA chain, all in one jit program
+                import dataclasses
+
+                if obs.npol == 2:
+                    need4 = self.det_state in (Signal.COHERENCE,
+                                               Signal.STOKES)
+                    front_plan = dataclasses.replace(
+                        self.mega_plan,
+                        npol_out=4 if need4 else 2,
+                        detection="coherence" if need4 else "auto",
+                        fourth_moment=False)
+                else:
+                    front_plan = dataclasses.replace(
+                        self.mega_plan, npol_out=1, detection="auto",
+                        fourth_moment=False)
+                cstf = MegaConstants(front_plan, resp, dtype=dt,
+                                     unpack_scale=scale,
+                                     unpack_offset=offset,
+                                     twobit=self.unpack_plan.twobit,
+                                     window=win)
+                self._megastep = self._build_megask_step(front_plan, cstf)
+            else:
+                cst = MegaConstants(self.mega_plan, resp, dtype=dt,
+                                    unpack_scale=scale, unpack_offset=offset,
+                                    twobit=self.unpack_plan.twobit,
+                                    window=win)
+                self._megastep = build_megastep(self.mega_plan, cst,
+                                                self.npart)
 
         # --- apodization window (built at the final FFT geometry) ---
         if cfg.fft_window:
@@ -654,7 +685,7 @@ class FoldPipeline:
         # --- accumulators ---
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
         nsrc = len(self.predictors)
-        if self.mega_plan is not None:
+        if self.mega_plan is not None and not self._megask:
             # kernel layout: per input channel x [nplane, nsub, nbin]
             # profiles + per input channel hits
             self._profiles = jnp.zeros(
@@ -694,6 +725,73 @@ class FoldPipeline:
                Signal.COHERENCE: "coherence"}.get(self.det_state, "auto")
         return np_map[self.det_state], tag
 
+    def _build_megask_step(self, front_plan, cstf):
+        """Fused in-stream spectral kurtosis fold (one jit program).
+
+        The reference computes SK from the filterbank output and zaps the
+        offending samples before folding (``SpectralKurtosis.C``,
+        ``SKDetector``/``SKMasker``); its cost is dominated by the
+        filterbank itself.  Here the filterbank+detect runs as the Pallas
+        megafil front end (planes expose the per-pol powers SK needs), and
+        the mask + fold reuse the EXACT XLA-chain code (``sk_mask``,
+        ``expand_mask``, ``fold_block``) — so SK semantics match the
+        general path while the FLOPs ride the fused kernel.  2-bit JA98
+        excision weights combine in at per-window granularity, exactly as
+        in the fused fold (``window_weight_spans``).
+        """
+        from ..ops.megakernel import build_megafil
+
+        mp = self.mega_plan
+        front = build_megafil(front_plan, cstf, self.npart,
+                              return_weights=True)
+        nsub, nkeep, npart = mp.nsub, mp.nkeep, self.npart
+        nchan_out = self.obs_in.nchan * nsub
+        ndat_out = npart * nkeep
+        det_state = self.det_state
+        sk_plan = self.sk_plan
+        fold_plan = self.fold_plan
+        fourth = self.config.fourth_moment
+        npol_in = self.obs_in.npol
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(profiles, hits, raw, phi0, dphi):
+            P, wwin = front(raw)  # [nchan_out, nplane_f, ndat], [nchan_in, npart]
+            power = P[:, :2] if npol_in == 2 else P[:, :1]
+            if det_state == Signal.INTENSITY:
+                d = (P[:, 0:1] + P[:, 1:2]) if npol_in == 2 else P[:, 0:1]
+            elif det_state == Signal.PPQQ:
+                d = P[:, :2]
+            elif det_state == Signal.PP:
+                d = P[:, 0:1]
+            elif det_state == Signal.QQ:
+                d = P[:, 1:2]
+            elif det_state == Signal.COHERENCE:
+                d = P
+            else:  # STOKES from coherence planes (stokes_detect.ic:38-43)
+                d = jnp.stack([P[:, 0] + P[:, 1], P[:, 0] - P[:, 1],
+                               2.0 * P[:, 2], 2.0 * P[:, 3]], axis=1)
+            if fourth:
+                from ..ops.fourth_moment import fourth_moment
+
+                d = fourth_moment(d)
+            # per-window excision weights broadcast over each window's
+            # nkeep outputs and over that input channel's subbands
+            w_s = jnp.repeat(wwin, nsub, axis=0)
+            w_samp = jnp.broadcast_to(
+                w_s[:, :, None], (nchan_out, npart, nkeep)
+            ).reshape(nchan_out, ndat_out)
+            nblk = ndat_out // sk_plan.M
+            skw = expand_mask(sk_mask(power, sk_plan, nblk), sk_plan.M)
+            pad = ndat_out - skw.shape[-1]
+            if pad > 0:
+                skw = jnp.concatenate(
+                    [skw, jnp.ones((nchan_out, pad), jnp.float32)], axis=-1)
+            weights = w_samp * skw[:, :ndat_out]
+            return fold_block(profiles, hits, d, weights, phi0, dphi,
+                              fold_plan)
+
+        return step
+
     def _mega_eligible(self) -> bool:
         """The fused Pallas step covers real or analytic 2/4/8-bit input
         (single- or multi-channel, e.g. GUPPI RAW / VDIF baseband) through
@@ -718,7 +816,6 @@ class FoldPipeline:
             # 2-bit: only the JA98 dynamic path is fused (the reference's
             # 2-bit instruments all use it); fixed-level 2-bit -> XLA
             and (obs.nbit != 2 or self.unpack_plan.twobit is not None)
-            and self.sk_plan is None
             and self.cyclic_plan is None
             and self._jones_fftorder is None
             and not cfg.rfi_filter
@@ -1239,7 +1336,7 @@ class FoldPipeline:
         else:
             prof = np.asarray(self._profiles)
             hits = np.asarray(self._hits)
-        if self.mega_plan is not None:
+        if self.mega_plan is not None and not self._megask:
             # mega layout [nchan_in, npol_out, nsub, nbin] -> archive
             # [nchan_out, npol, nbin]; hits are per INPUT channel (excision
             # weights) and broadcast over that channel's subbands

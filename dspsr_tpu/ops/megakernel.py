@@ -974,29 +974,38 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
 # --------------------------------------------------------------------------
 
 def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
-                  interpret: Optional[bool] = None):
-    """Fused search-mode front end (digifil's hot path): one ``pallas_call``
-    per block computing detected intensity per window in the kernel's
-    permuted layout, plus the (cheap, XLA) de-permutation back to time
-    order.
+                  interpret: Optional[bool] = None,
+                  return_weights: bool = False):
+    """Fused search-mode front end (digifil's hot path, and the filterbank
+    half of the fused in-stream-SK fold): one ``pallas_call`` per block
+    computing the detected filterbank per window in the kernel's permuted
+    layout, plus the (cheap, XLA) de-permutation back to time order.
 
-    Returns a jittable ``fn(raw) -> float32[nchan_in*nsub, 1, npart*nkeep]``
-    of detected, time-ordered filterbank samples (``plan.npol_out`` must be
-    1; polarized search products stay on the XLA path).
+    Returns a jittable ``fn(raw) ->
+    float32[nchan_in*nsub, nplane, npart*nkeep]`` of detected, time-ordered
+    filterbank samples for any detection state of the plan (Intensity /
+    PPQQ / PP / QQ / Coherence / Stokes; ``detection="coherence"`` yields
+    the per-pol powers in planes 0/1, which is what SpectralKurtosis needs).
+    With ``return_weights=True`` the function returns ``(P, wgt)`` where
+    ``wgt f32[nchan_in, npart]`` are the per-window 2-bit excision weights
+    (all ones when the plan has no JA98 path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     p = plan
     p.validate()
-    if p.npol_out != 1:
-        raise ValueError("megafil: intensity detection only")
+    if p.fourth_moment:
+        raise ValueError("megafil: apply fourth moments after the front end")
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
     npol, nchan, ndim = p.npol, p.nchan_in, p.ndim
+    npol_out, nplane = p.npol_out, p.nplane
     totrows = p.total_rows(npart)
     consts = cst.as_jax()
     scale, offset = cst.unpack_scale, cst.unpack_offset
     has_lohi = bool(p.npw)
+    has_apod = cst.apod is not None
+    pols = {"pp": (0,), "qq": (1,)}.get(p.detection, tuple(range(npol)))
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -1019,9 +1028,11 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         (w1r, w1i, tr, ti, er, ei, gr, gi,
          mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(15))
         expand = next(it) if has_lohi else None
+        apod = next(it) if has_apod else None
         out_ref = next(it)
         win = next(it)
         dma_sem = next(it)
+        xacc = next(it) if npol_out > 1 else None
 
         ci = pl.program_id(0)
         w = pl.program_id(1)
@@ -1048,14 +1059,19 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             is_low = jnp.logical_or(v == f32(1), v == f32(2))
             return sign * jnp.where(is_low, lo_exp, hi_exp)
 
-        for pol in range(npol):
+        for pol in pols:
             if p.real_input:
                 wm = load_plane(pol, 0)
+                if has_apod:
+                    wm = wm * apod[...]
                 sr = dot00(wm, w1r[...])
                 si = dot00(wm, w1i[...])
             else:
                 ar = load_plane(pol, 0)
                 ai = load_plane(pol, 1)
+                if has_apod:
+                    ar = ar * apod[...]
+                    ai = ai * apod[...]
                 sr = dot00(ar, w1r[...]) - dot00(ai, w1i[...])
                 si = dot00(ar, w1i[...]) + dot00(ai, w1r[...])
             cr = sr * tr[...] - si * ti[...]
@@ -1070,11 +1086,30 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             c2i = e1r * ui[...] + e1i * ur[...]
             fr = dot00(c2r, vr[...]) - dot00(c2i, vi[...])
             fi = dot00(c2r, vi[...]) + dot00(c2i, vr[...])
-            pw = fr * fr + fi * fi
-            if pol == 0:
-                out_ref[0, 0, :, :] = pw
+            if npol_out == 1:
+                pw = fr * fr + fi * fi
+                if pol == pols[0]:
+                    out_ref[0, 0, 0, :, :] = pw
+                else:
+                    out_ref[0, 0, 0, :, :] = out_ref[0, 0, 0, :, :] + pw
             else:
-                out_ref[0, 0, :, :] = out_ref[0, 0, :, :] + pw
+                xacc[2 * pol, :, :] = fr
+                xacc[2 * pol + 1, :, :] = fi
+
+        if npol_out == 2:
+            out_ref[0, 0, 0] = xacc[0] * xacc[0] + xacc[1] * xacc[1]
+            out_ref[0, 0, 1] = xacc[2] * xacc[2] + xacc[3] * xacc[3]
+        elif npol_out == 4:
+            pp = xacc[0] * xacc[0] + xacc[1] * xacc[1]
+            qq = xacc[2] * xacc[2] + xacc[3] * xacc[3]
+            re = xacc[0] * xacc[2] + xacc[1] * xacc[3]
+            im = xacc[0] * xacc[3] - xacc[1] * xacc[2]
+            if p.detection == "coherence":
+                out_ref[0, 0, 0], out_ref[0, 0, 1] = pp, qq
+                out_ref[0, 0, 2], out_ref[0, 0, 3] = re, im
+            else:
+                out_ref[0, 0, 0], out_ref[0, 0, 1] = pp + qq, pp - qq
+                out_ref[0, 0, 2], out_ref[0, 0, 3] = 2 * re, 2 * im
 
     in_dtype = jnp.int8 if p.nbit != 32 else jnp.float32
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # x
@@ -1092,17 +1127,22 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if has_lohi:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_apod:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # apod
 
     scratch_shapes = [
         pltpu.VMEM((R1, p.row_len), in_dtype),
         pltpu.SemaphoreType.DMA(()),
     ]
+    if npol_out > 1:
+        scratch_shapes.append(pltpu.VMEM((2 * npol, R2, R1), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nchan, npart),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, R2, R1), lambda c, w: (c, w, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, nplane, R2, R1),
+                               lambda c, w: (c, w, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch_shapes,
     )
@@ -1118,7 +1158,8 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nchan, npart, R2, R1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nchan, npart, nplane, R2, R1),
+                                       jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
@@ -1127,21 +1168,27 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
 
     @jax.jit
     def step(raw):
-        """raw uint8/f32 flat TFP bytes -> [nchan*nsub, 1, npart*nkeep]."""
+        """raw uint8/f32 flat TFP bytes ->
+        [nchan*nsub, nplane, npart*nkeep] (+ wgt [nchan, npart])."""
         if raw.dtype == jnp.uint8 and p.nbit == 32:
             raw = jax.lax.bitcast_convert_type(
                 raw.reshape(-1, 4), jnp.float32).reshape(-1)
-        x, lohi, _ = _prepare_input(raw, p, npart, cst)
+        x, lohi, wgt2 = _prepare_input(raw, p, npart, cst)
         args = [x]
         if has_lohi:
             args.append(lohi)
         args += const_vals
-        P = call(*args)  # [nchan, npart, R2, R1]
+        P = call(*args)  # [nchan, npart, nplane, R2, R1]
         # de-permute: row s*q + j1, col k2' -> time t = k2'*q + j1
-        P = P.reshape(nchan, npart, nsub, q, R1)
-        P = jnp.transpose(P, (0, 2, 1, 4, 3))  # [nchan, nsub, npart, R1, q]
-        P = P.reshape(nchan * nsub, npart, p.freq_res)
-        P = P[:, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
-        return P.reshape(nchan * nsub, 1, npart * p.nkeep)
+        P = P.reshape(nchan, npart, nplane, nsub, q, R1)
+        P = jnp.transpose(P, (0, 3, 2, 1, 5, 4))
+        P = P.reshape(nchan * nsub, nplane, npart, p.freq_res)
+        P = P[:, :, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
+        P = P.reshape(nchan * nsub, nplane, npart * p.nkeep)
+        if not return_weights:
+            return P
+        if wgt2 is None:
+            wgt2 = jnp.ones((nchan, npart), jnp.float32)
+        return P, wgt2
 
     return step

@@ -99,7 +99,11 @@ class ShardedFoldPipeline:
         self.inner = FoldPipeline(source, cfg)
         if self.inner.mega_plan is not None and self.n_chan > 1:
             raise AssertionError("mega plan engaged despite chan sharding")
-        self.mega = self.inner.mega_plan is not None
+        #: fused-fold variant (mega accumulator layout) vs fused in-stream
+        #: SK variant (megafil front end + fold_block, STANDARD layout)
+        self.megask = (self.inner.mega_plan is not None
+                       and self.inner._megask)
+        self.mega = self.inner.mega_plan is not None and not self.megask
         self.config = cfg
         self.source = source
 
@@ -166,7 +170,7 @@ class ShardedFoldPipeline:
                 ti = jax.lax.axis_index("time")
                 halo = jnp.where(ti == n_time - 1, tail, from_right)
                 raw = jnp.concatenate([raw, halo])
-            if self.mega:
+            if self.mega or self.megask:
                 # each time shard runs the fused Pallas megakernel on its
                 # stripe; accumulators reduce exactly like the op chain
                 dprof, dhits = inner._megastep(
