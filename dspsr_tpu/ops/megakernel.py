@@ -293,7 +293,8 @@ class MegaConstants:
     def __init__(self, plan: MegaPlan, response_natural: Optional[np.ndarray],
                  dtype=np.float32, unpack_scale: float = 1.0,
                  unpack_offset: float = 0.0, twobit=None,
-                 window: Optional[np.ndarray] = None):
+                 window: Optional[np.ndarray] = None,
+                 jones: Optional[np.ndarray] = None):
         p = plan
         R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
         N, M = p.n_fft, p.freq_res
@@ -337,6 +338,30 @@ class MegaConstants:
                          (0, 2, 1))  # [nchan, k1, k2]
         self.gr, self.gi = c(np.ascontiguousarray(G.real)), \
             c(np.ascontiguousarray(G.imag))
+
+        # Jones-matrix response (matrix convolution, Convolution.C:425-436):
+        # natural-order [nchan_in, N, 2, 2] complex responses (the scalar
+        # chirp pre-multiplied in by ops.polncal.jones_product), permuted
+        # into the same [k1, k2] spectral layout as the scalar chirp and
+        # flattened to 4 planes indexed 2*a + b.  When present, the kernel
+        # mixes the two input-pol spectra per output pol INSTEAD of the
+        # scalar chirp multiply (whose slot in `gr/gi` becomes unused ones).
+        if jones is not None:
+            if p.npol != 2:
+                raise ValueError("Jones response needs npol == 2")
+            jn = np.asarray(jones).astype(np.complex128)
+            if jn.shape != (p.nchan_in, N, 2, 2):
+                raise ValueError(
+                    f"jones shape {jn.shape} != ({p.nchan_in}, {N}, 2, 2)")
+            if not p.real_input:
+                jn = np.roll(jn, -(N // 2), axis=1)
+            # [nchan, N, 2, 2] -> [nchan, 2, 2, R1, R2] -> [nchan, 4, R1, R2]
+            J = np.transpose(jn.reshape(p.nchan_in, R2, R1, 2, 2),
+                             (0, 3, 4, 2, 1)).reshape(p.nchan_in, 4, R1, R2)
+            self.jxr = c(np.ascontiguousarray(J.real))
+            self.jxi = c(np.ascontiguousarray(J.imag))
+        else:
+            self.jxr = self.jxi = None
 
         # inverse stage 1: block-diagonal radix-q inverse DFT [R2, R2].
         # Complex input: the fftshift permutes which k2 columns belong to
@@ -528,11 +553,14 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
     U = cst.ur.astype(np.float64) + 1j * cst.ui.astype(np.float64)
     V = cst.vr.astype(np.float64) + 1j * cst.vi.astype(np.float64)
 
+    J = (cst.jxr.astype(np.float64) + 1j * cst.jxi.astype(np.float64)
+         if cst.jxr is not None else None)
+
     profiles = np.zeros((p.nchan_in, p.nplane, nsub, p.nbin))
     hits = np.zeros((p.nchan_in, p.nbin))
     for ci in range(p.nchan_in):
         for w in range(npart):
-            Fpols = []
+            Xpols = []
             for pol in range(p.npol):
                 win = x[ci, pol,
                         w * p.nsamp_step: w * p.nsamp_step + p.nsamp_fft]
@@ -542,7 +570,15 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
                 S = np.einsum("nm,nk->mk", Wm, W1)         # [mult*R2, R1]
                 C = S * T_                                  # twiddle
                 X = np.einsum("mk,mj->kj", C, E)            # [R1, R2]
-                Y = X * G[ci]                               # chirp
+                Xpols.append(X)
+            if J is not None:
+                # matrix convolution: 2x2 mix of the input-pol spectra
+                Ypols = [J[ci, 2 * a + 0] * Xpols[0]
+                         + J[ci, 2 * a + 1] * Xpols[1] for a in range(2)]
+            else:
+                Ypols = [X * G[ci] for X in Xpols]          # scalar chirp
+            Fpols = []
+            for Y in Ypols:
                 E1 = Y @ Mb                                 # [R1, R2]
                 C2 = E1 * U
                 F = np.einsum("kr,kc->rc", C2, V)           # [R2, R1]
@@ -975,20 +1011,43 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
 
 def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                   interpret: Optional[bool] = None,
-                  return_weights: bool = False):
-    """Fused search-mode front end (digifil's hot path, and the filterbank
-    half of the fused in-stream-SK fold): one ``pallas_call`` per block
-    computing the detected filterbank per window in the kernel's permuted
-    layout, plus the (cheap, XLA) de-permutation back to time order.
+                  return_weights: bool = False,
+                  output: str = "detected",
+                  passband: bool = False):
+    """Fused front end: unpack -> forward FFT -> response -> subband
+    inversion [-> detect], one ``pallas_call`` per block, plus the (cheap,
+    XLA) de-permutation back to time order.  Serves digifil's hot path AND
+    the hybrid fold steps (models.load_to_fold): anything the fully-fused
+    fold kernel can't express (in-stream SK, cyclic folding, Jones matrix
+    convolution, multi-pulsar folds, passband taps, nsub == 1 pure
+    convolution) runs this front end and finishes in XLA.
 
-    Returns a jittable ``fn(raw) ->
-    float32[nchan_in*nsub, nplane, npart*nkeep]`` of detected, time-ordered
-    filterbank samples for any detection state of the plan (Intensity /
-    PPQQ / PP / QQ / Coherence / Stokes; ``detection="coherence"`` yields
-    the per-pol powers in planes 0/1, which is what SpectralKurtosis needs).
-    With ``return_weights=True`` the function returns ``(P, wgt)`` where
-    ``wgt f32[nchan_in, npart]`` are the per-window 2-bit excision weights
-    (all ones when the plan has no JA98 path).
+    ``output="detected"`` (default) returns
+    ``float32[nchan_in*nsub, nplane, npart*nkeep]`` of detected,
+    time-ordered filterbank samples for any detection state of the plan
+    (Intensity / PPQQ / PP / QQ / Coherence / Stokes; coherence planes 0/1
+    are the per-pol powers SpectralKurtosis needs).
+
+    ``output="voltage"`` skips detection and returns the undetected complex
+    baseband as a split-complex pair ``(re, im)``, each
+    ``float32[nchan_in*nsub, npol, npart*nkeep]`` — exactly what
+    ``ops.filterbank.invert_subbands`` / ``ops.convolution`` produce, so
+    every downstream XLA op (detect, lag products, fourth moments, SK)
+    composes unchanged.
+
+    ``passband=True`` adds an integrated pre-response bandpass
+    ``float32[nchan_in*nsub, npol, freq_res]`` (sum of |spectrum|^2 over
+    this block's windows, natural bin order — the reference Response
+    passband integration during Convolution).
+
+    When the constants carry a Jones response (``cst.jxr``), the per-pol
+    scalar chirp multiply is replaced by the 2x2 matrix mix of the two
+    input-pol spectra (matrix convolution, ``Convolution.C:425-436``).
+
+    With ``return_weights=True`` the per-window 2-bit excision weights
+    ``wgt f32[nchan_in, npart]`` are appended (all ones when the plan has
+    no JA98 path).  Return value order: ``data[, wgt][, pb]`` (a bare array
+    or SC pair when nothing else is requested).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -997,6 +1056,9 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     p.validate()
     if p.fourth_moment:
         raise ValueError("megafil: apply fourth moments after the front end")
+    if output not in ("detected", "voltage"):
+        raise ValueError(f"unknown output mode: {output}")
+    voltage = output == "voltage"
     R1, R2, q, nsub = p.R1, p.R2, p.q, p.nsub
     npol, nchan, ndim = p.npol, p.nchan_in, p.ndim
     npol_out, nplane = p.npol_out, p.nplane
@@ -1005,7 +1067,12 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     scale, offset = cst.unpack_scale, cst.unpack_offset
     has_lohi = bool(p.npw)
     has_apod = cst.apod is not None
+    has_jones = cst.jxr is not None
+    # output pols folded into the detected planes; with Jones or voltage
+    # output (or a passband tap) every INPUT pol's spectrum is computed
     pols = {"pp": (0,), "qq": (1,)}.get(p.detection, tuple(range(npol)))
+    out_pols = tuple(range(npol)) if voltage else pols
+    nplane_out = 2 * npol if voltage else nplane
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -1025,17 +1092,26 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         it = iter(refs)
         x_ref = next(it)
         lohi_ref = next(it) if has_lohi else None
-        (w1r, w1i, tr, ti, er, ei, gr, gi,
-         mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(15))
+        (w1r, w1i, tr, ti, er, ei, gr, gi) = (next(it) for _ in range(8))
+        jxr = next(it) if has_jones else None
+        jxi = next(it) if has_jones else None
+        (mr, mi, ur, ui, vr, vi, sel) = (next(it) for _ in range(7))
         expand = next(it) if has_lohi else None
         apod = next(it) if has_apod else None
         out_ref = next(it)
+        pb_ref = next(it) if passband else None
         win = next(it)
         dma_sem = next(it)
-        xacc = next(it) if npol_out > 1 else None
+        xacc = next(it) if (not voltage and npol_out > 1) else None
+        xspec = next(it) if has_jones else None
 
         ci = pl.program_id(0)
         w = pl.program_id(1)
+
+        if passband:
+            @pl.when(w == 0)
+            def _pb_init():
+                pb_ref[...] = jnp.zeros_like(pb_ref)
 
         def load_plane(pol, d):
             copy = pltpu.make_async_copy(
@@ -1059,7 +1135,8 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             is_low = jnp.logical_or(v == f32(1), v == f32(2))
             return sign * jnp.where(is_low, lo_exp, hi_exp)
 
-        for pol in pols:
+        def forward(pol):
+            """One pol's window -> [R1, R2] spectrum (pre-response)."""
             if p.real_input:
                 wm = load_plane(pol, 0)
                 if has_apod:
@@ -1078,17 +1155,27 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             ci_ = sr * ti[...] + si * tr[...]
             xr = dot00(cr, er[...]) - dot00(ci_, ei[...])
             xi = dot00(cr, ei[...]) + dot00(ci_, er[...])
-            yr = xr * gr[0] - xi * gi[0]
-            yi = xr * gi[0] + xi * gr[0]
+            if passband:
+                pb_ref[0, pol] = pb_ref[0, pol] + (xr * xr + xi * xi)
+            return xr, xi
+
+        def inverse(yr, yi):
+            """Post-response spectrum -> [R2, R1] subband time planes."""
             e1r = mm(yr, mr[...]) - mm(yi, mi[...])
             e1i = mm(yr, mi[...]) + mm(yi, mr[...])
             c2r = e1r * ur[...] - e1i * ui[...]
             c2i = e1r * ui[...] + e1i * ur[...]
             fr = dot00(c2r, vr[...]) - dot00(c2i, vi[...])
             fi = dot00(c2r, vi[...]) + dot00(c2i, vr[...])
-            if npol_out == 1:
+            return fr, fi
+
+        def emit(pol, first, fr, fi):
+            if voltage:
+                out_ref[0, 0, 2 * pol] = fr
+                out_ref[0, 0, 2 * pol + 1] = fi
+            elif npol_out == 1:
                 pw = fr * fr + fi * fi
-                if pol == pols[0]:
+                if first:
                     out_ref[0, 0, 0, :, :] = pw
                 else:
                     out_ref[0, 0, 0, :, :] = out_ref[0, 0, 0, :, :] + pw
@@ -1096,10 +1183,36 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                 xacc[2 * pol, :, :] = fr
                 xacc[2 * pol + 1, :, :] = fi
 
-        if npol_out == 2:
+        if has_jones:
+            for pol in range(npol):
+                xr, xi = forward(pol)
+                xspec[2 * pol, :, :] = xr
+                xspec[2 * pol + 1, :, :] = xi
+            for i, pol in enumerate(out_pols):
+                # Y_p = J[p,0] X_0 + J[p,1] X_1 (complex 2x2 mix)
+                yr = (jxr[0, 2 * pol] * xspec[0] - jxi[0, 2 * pol] * xspec[1]
+                      + jxr[0, 2 * pol + 1] * xspec[2]
+                      - jxi[0, 2 * pol + 1] * xspec[3])
+                yi = (jxr[0, 2 * pol] * xspec[1] + jxi[0, 2 * pol] * xspec[0]
+                      + jxr[0, 2 * pol + 1] * xspec[3]
+                      + jxi[0, 2 * pol + 1] * xspec[2])
+                emit(pol, i == 0, *inverse(yr, yi))
+        else:
+            fwd_pols = tuple(range(npol)) if passband else out_pols
+            i = 0
+            for pol in fwd_pols:
+                xr, xi = forward(pol)
+                if pol not in out_pols:
+                    continue
+                yr = xr * gr[0] - xi * gi[0]
+                yi = xr * gi[0] + xi * gr[0]
+                emit(pol, i == 0, *inverse(yr, yi))
+                i += 1
+
+        if not voltage and npol_out == 2:
             out_ref[0, 0, 0] = xacc[0] * xacc[0] + xacc[1] * xacc[1]
             out_ref[0, 0, 1] = xacc[2] * xacc[2] + xacc[3] * xacc[3]
-        elif npol_out == 4:
+        elif not voltage and npol_out == 4:
             pp = xacc[0] * xacc[0] + xacc[1] * xacc[1]
             qq = xacc[2] * xacc[2] + xacc[3] * xacc[3]
             re = xacc[0] * xacc[2] + xacc[1] * xacc[3]
@@ -1123,6 +1236,11 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                                  memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((1, R1, R2), lambda c, w: (c, 0, 0),
                                  memory_space=pltpu.VMEM))
+    if has_jones:
+        for _ in range(2):  # jxr, jxi [nchan, 4, R1, R2] per-channel slices
+            in_specs.append(pl.BlockSpec(
+                (1, 4, R1, R2), lambda c, w: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM))
     for name in ("mr", "mi", "ur", "ui", "vr", "vi", "sel"):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if has_lohi:
@@ -1134,22 +1252,38 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         pltpu.VMEM((R1, p.row_len), in_dtype),
         pltpu.SemaphoreType.DMA(()),
     ]
-    if npol_out > 1:
+    if not voltage and npol_out > 1:
         scratch_shapes.append(pltpu.VMEM((2 * npol, R2, R1), jnp.float32))
+    if has_jones:
+        scratch_shapes.append(pltpu.VMEM((2 * npol, R1, R2), jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, nplane_out, R2, R1),
+                              lambda c, w: (c, w, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((nchan, npart, nplane_out, R2, R1),
+                                       jnp.float32)]
+    if passband:
+        # revisited per channel across windows (accumulated in VMEM)
+        out_specs.append(pl.BlockSpec((1, npol, R1, R2),
+                                      lambda c, w: (c, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((nchan, npol, R1, R2),
+                                               jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nchan, npart),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, nplane, R2, R1),
-                               lambda c, w: (c, w, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs if passband else out_specs[0],
         scratch_shapes=scratch_shapes,
     )
 
-    const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
-                   "mr", "mi", "ur", "ui", "vr", "vi", "sel")
+    const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi")
     const_vals = [consts[n] for n in const_order]
+    if has_jones:
+        const_vals += [jnp.asarray(cst.jxr), jnp.asarray(cst.jxi)]
+    const_vals += [consts[n] for n in
+                   ("mr", "mi", "ur", "ui", "vr", "vi", "sel")]
     if has_lohi:
         const_vals.append(jnp.asarray(cst.expand))
     if has_apod:
@@ -1158,18 +1292,50 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nchan, npart, nplane, R2, R1),
-                                       jnp.float32),
+        out_shape=out_shapes if passband else out_shapes[0],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ) if not interpret else None,
     )
 
+    N = p.n_fft
+
+    def _depermute_data(P):
+        # de-permute: row s*q + j1, col k2' -> time t = k2'*q + j1
+        P = P.reshape(nchan, npart, nplane_out, nsub, q, R1)
+        P = jnp.transpose(P, (0, 3, 2, 1, 5, 4))
+        P = P.reshape(nchan * nsub, nplane_out, npart, p.freq_res)
+        if voltage and (nsub > 1 or not p.real_input):
+            # restore the per-chunk ifftshift the kernel skips (baseband
+            # centring == a (-1)^t factor on the voltage; it cancels in
+            # every detection product but NOT in raw voltage or odd-lag
+            # cyclic products).  nsub == 1 real input follows the
+            # ops.convolution convention, which applies no output shift.
+            sign = jnp.where(jnp.arange(p.freq_res) % 2 == 0, 1.0, -1.0
+                             ).astype(jnp.float32)
+            P = P * sign
+        P = P[:, :, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
+        P = P.reshape(nchan * nsub, nplane_out, npart * p.nkeep)
+        if not voltage:
+            return P
+        # split interleaved (fr, fi) planes into an SC pair
+        P = P.reshape(nchan * nsub, npol, 2, npart * p.nkeep)
+        return P[:, :, 0], P[:, :, 1]
+
+    def _depermute_pb(pb):
+        # kernel spectral layout bin k = k2*R1 + k1 -> natural order
+        flat = jnp.transpose(pb, (0, 1, 3, 2)).reshape(nchan, npol, N)
+        if not p.real_input:
+            # undo the fftshift folded into the response permutation
+            flat = jnp.roll(flat, N // 2, axis=-1)
+        flat = flat.reshape(nchan, npol, nsub, p.freq_res)
+        return jnp.transpose(flat, (0, 2, 1, 3)).reshape(
+            nchan * nsub, npol, p.freq_res)
+
     @jax.jit
     def step(raw):
-        """raw uint8/f32 flat TFP bytes ->
-        [nchan*nsub, nplane, npart*nkeep] (+ wgt [nchan, npart])."""
+        """raw uint8/f32 flat TFP bytes -> data[, wgt][, pb]."""
         if raw.dtype == jnp.uint8 and p.nbit == 32:
             raw = jax.lax.bitcast_convert_type(
                 raw.reshape(-1, 4), jnp.float32).reshape(-1)
@@ -1178,17 +1344,21 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         if has_lohi:
             args.append(lohi)
         args += const_vals
-        P = call(*args)  # [nchan, npart, nplane, R2, R1]
-        # de-permute: row s*q + j1, col k2' -> time t = k2'*q + j1
-        P = P.reshape(nchan, npart, nplane, nsub, q, R1)
-        P = jnp.transpose(P, (0, 3, 2, 1, 5, 4))
-        P = P.reshape(nchan * nsub, nplane, npart, p.freq_res)
-        P = P[:, :, :, p.nfilt_pos : p.nfilt_pos + p.nkeep]
-        P = P.reshape(nchan * nsub, nplane, npart * p.nkeep)
-        if not return_weights:
-            return P
-        if wgt2 is None:
-            wgt2 = jnp.ones((nchan, npart), jnp.float32)
-        return P, wgt2
+        res = call(*args)
+        if passband:
+            P, pb = res
+        else:
+            P, pb = res, None
+        data = _depermute_data(P)
+        if not return_weights and not passband:
+            return data
+        out = [data]
+        if return_weights:
+            if wgt2 is None:
+                wgt2 = jnp.ones((nchan, npart), jnp.float32)
+            out.append(wgt2)
+        if passband:
+            out.append(_depermute_pb(pb))
+        return tuple(out)
 
     return step

@@ -770,3 +770,166 @@ def test_pipeline_mega_engages_new_configs(tmp_path, monkeypatch, kw,
         assert res["mega"].obs.state == Signal.COHERENCE
         stokes = res["mega"].to_stokes()
         assert stokes.profiles.shape == res["mega"].profiles.shape
+
+
+# --------------------------------------------------------------------------
+# fused front end modes (voltage / passband / Jones / nsub == 1)
+# --------------------------------------------------------------------------
+
+def _front_setup(real_input, nsub, freq_res, nchan=1, seed=7):
+    from dspsr_tpu.ops.megakernel import MegaConstants, unpack_affine
+    rng = np.random.default_rng(seed)
+    fb0 = FilterbankPlan(real_input=real_input, nchan_subband=nsub,
+                         freq_res=freq_res, nfilt_pos=5, nfilt_neg=6)
+    from dspsr_tpu.ops.megakernel import MegaPlan as MP
+    plan = MP.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1,
+                              nchan_in=nchan)
+    assert plan is not None
+    ndim = 1 if real_input else 2
+    ndat = plan.block_ndat(NPART)
+    raw = rng.integers(0, 256, size=ndat * nchan * NPOL * ndim,
+                       dtype=np.uint8)
+    scale, offset = unpack_affine(8)
+    return plan, raw, rng, scale, offset
+
+
+@pytest.mark.parametrize("real_input", [True, False])
+def test_megafil_voltage_matches_filterbank(real_input):
+    """Voltage-output front end == invert_subbands' complex baseband
+    (incl. the restored per-chunk ifftshift the detection path skips)."""
+    from dspsr_tpu.ops.megakernel import MegaConstants, build_megafil
+
+    plan, raw, rng, scale, offset = _front_setup(real_input, NSUB, FREQ_RES)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    vr, vi = build_megafil(plan, cst, NPART, output="voltage")(
+        jnp.asarray(raw))
+
+    fb = FilterbankPlan(real_input=real_input, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    x = unpack_fixed(jnp.asarray(raw), 8, 1, NPOL, 1 if real_input else 2)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    y = filterbank_block(x, fb, NPART, (rr, ri))
+    den = np.abs(np.asarray(y[0])).max()
+    assert np.abs(np.asarray(vr) - np.asarray(y[0])).max() / den < 2e-5
+    assert np.abs(np.asarray(vi) - np.asarray(y[1])).max() / den < 2e-5
+
+
+def test_megafil_passband_matches_spectra():
+    """The in-kernel passband accumulator == the XLA chain's integrated
+    pre-response bandpass (reference Response passband integration)."""
+    from dspsr_tpu.ops.filterbank import forward_spectra_chunked
+    from dspsr_tpu.ops.megakernel import MegaConstants, build_megafil
+
+    plan, raw, rng, scale, offset = _front_setup(True, NSUB, FREQ_RES)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    P, pb = build_megafil(plan, cst, NPART, passband=True)(jnp.asarray(raw))
+
+    fb = FilterbankPlan(real_input=True, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    x = unpack_fixed(jnp.asarray(raw), 8, 1, NPOL, 1)
+    spec = forward_spectra_chunked(x, fb, NPART)
+    pb_ref = np.asarray(jnp.sum(spec[0] ** 2 + spec[1] ** 2, axis=2))
+    assert np.abs(np.asarray(pb) - pb_ref).max() / np.abs(pb_ref).max() < 2e-5
+
+
+@pytest.mark.parametrize("real_input", [True, False])
+def test_megafil_conv_nsub1_matches_overlap_save(real_input):
+    """nsub == 1 front end == ops.convolution.overlap_save_convolve — the
+    pure coherent-dedispersion pipeline (no filterbank) on the fused path."""
+    from dspsr_tpu.ops.convolution import OverlapSavePlan, overlap_save_convolve
+    from dspsr_tpu.ops.response import Response
+    from dspsr_tpu.ops.megakernel import MegaConstants, build_megafil
+    import dspsr_tpu.ops.sc as sc
+
+    nchan, N = 2, 256
+    plan, raw, rng, scale, offset = _front_setup(real_input, 1, N,
+                                                 nchan=nchan)
+    conv = OverlapSavePlan(real_input, N, plan.nfilt_pos, plan.nfilt_neg)
+    resp_nat = np.exp(1j * rng.uniform(-3, 3, (nchan, N)))
+    cst = MegaConstants(plan, resp_nat, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    vr, vi = build_megafil(plan, cst, NPART, output="voltage")(
+        jnp.asarray(raw))
+
+    x = unpack_fixed(jnp.asarray(raw), 8, nchan, NPOL,
+                     1 if real_input else 2)
+    rf = Response(phasors=resp_nat, impulse_pos=plan.nfilt_pos,
+                  impulse_neg=plan.nfilt_neg
+                  ).fft_order(complex_input=not real_input)
+    rfr, rfi = sc.from_numpy(rf)
+    y = overlap_save_convolve(x, (jnp.asarray(rfr), jnp.asarray(rfi)),
+                              conv, NPART)
+    den = np.abs(np.asarray(y[0])).max()
+    assert np.abs(np.asarray(vr) - np.asarray(y[0])).max() / den < 2e-5
+    assert np.abs(np.asarray(vi) - np.asarray(y[1])).max() / den < 2e-5
+
+
+@pytest.mark.parametrize("real_input", [True, False])
+def test_megafil_jones_matches_matrix_convolution(real_input):
+    """In-kernel 2x2 Jones mix == overlap_save_convolve_jones (matrix
+    convolution, Convolution.C:425-436) at nsub == 1."""
+    from dspsr_tpu.ops.convolution import (
+        OverlapSavePlan, overlap_save_convolve_jones)
+    from dspsr_tpu.ops.response import Response
+    from dspsr_tpu.ops.polncal import jones_fft_order
+    from dspsr_tpu.ops.megakernel import MegaConstants, build_megafil
+
+    nchan, N = 2, 256
+    plan, raw, rng, scale, offset = _front_setup(real_input, 1, N,
+                                                 nchan=nchan)
+    conv = OverlapSavePlan(real_input, N, plan.nfilt_pos, plan.nfilt_neg)
+    jones_nat = (rng.normal(size=(nchan, N, 2, 2))
+                 + 1j * rng.normal(size=(nchan, N, 2, 2))) * 0.5
+    cst = MegaConstants(plan, None, dtype=np.float64, unpack_scale=scale,
+                        unpack_offset=offset, jones=jones_nat)
+    vr, vi = build_megafil(plan, cst, NPART, output="voltage")(
+        jnp.asarray(raw))
+
+    x = unpack_fixed(jnp.asarray(raw), 8, nchan, NPOL,
+                     1 if real_input else 2)
+    resp = Response(phasors=jones_nat.astype(np.complex64),
+                    impulse_pos=plan.nfilt_pos, impulse_neg=plan.nfilt_neg)
+    jf = jones_fft_order(resp, complex_input=not real_input)
+    y = overlap_save_convolve_jones(x, jf, conv, NPART)
+    den = np.abs(np.asarray(y[0])).max()
+    assert np.abs(np.asarray(vr) - np.asarray(y[0])).max() / den < 1e-4
+    assert np.abs(np.asarray(vi) - np.asarray(y[1])).max() / den < 1e-4
+
+
+def test_megafil_jones_reference_fold():
+    """mega_reference with a Jones response folds the same profile as the
+    Jones voltage front end + XLA detect + fold (filterbank geometry)."""
+    import dataclasses
+    from dspsr_tpu.ops.detection import detect as _detect
+    from dspsr_tpu.observation import Signal as Sig
+    from dspsr_tpu.ops.megakernel import (
+        MegaConstants, build_megafil, mega_reference)
+
+    plan, raw, rng, scale, offset = _front_setup(True, NSUB, FREQ_RES)
+    jones_nat = (rng.normal(size=(1, NSUB * FREQ_RES, 2, 2))
+                 + 1j * rng.normal(size=(1, NSUB * FREQ_RES, 2, 2))) * 0.5
+    cst = MegaConstants(plan, None, dtype=np.float64, unpack_scale=scale,
+                        unpack_offset=offset, jones=jones_nat)
+    vr, vi = build_megafil(plan, cst, NPART, output="voltage")(
+        jnp.asarray(raw))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.013)
+    pr, hr = mega_reference(raw, dataclasses.replace(plan, npol_out=1),
+                            cst, phi0, dphi, NPART)
+    dj = _detect((vr, vi), Sig.INTENSITY)
+    fp = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, 1, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32), jnp.asarray(dj),
+        jnp.ones((NSUB, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32), fp)
+    pf = np.asarray(pf)
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / np.abs(pf).max() \
+        < 2e-5
