@@ -16,9 +16,13 @@ Beyond the headline, a CONFIGURATION MATRIX measures every execution path
                           dynamic-level unpack + excision weights, fused
 - ``mega_bf16``           the fused kernel with bf16 stage constants
 - ``xla_general``         the general XLA op chain on the flagship
-                          geometry (every megakernel-ineligible config
-                          runs this path)
+                          geometry (forced; the measured fallback floor)
 - ``xla_sk_weights``      XLA chain + spectral kurtosis RFI excision
+                          (forced; the SK fallback floor)
+- ``hybrid_sk``           in-stream SK on the FUSED path (voltage front
+                          end + XLA SK/fold tail in one program)
+- ``hybrid_conv32``       nsub == 1 coherent dedispersion of a 32-channel
+                          band on the fused path (no filterbank)
 - ``megafil_search``      the fused search-mode front end (digifil)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
@@ -94,7 +98,7 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
     raw_np = src.read_samples(0, pipe.block_in_samples)
     nbytes = raw_np.size
 
-    if pipe.mega_plan is not None:
+    if pipe.mega_mode == "full":
         mp = pipe.mega_plan
         profiles = jnp.zeros((obs.nchan, mp.npol_out, mp.nsub, pipe.nbin),
                              jnp.float32)
@@ -104,7 +108,8 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
         profiles = jnp.zeros((pipe.obs_out.nchan, pipe.obs_out.npol,
                               pipe.nbin), jnp.float32)
         hits = jnp.zeros((pipe.obs_out.nchan, pipe.nbin), jnp.float32)
-        base_step = pipe._step
+        base_step = (pipe._megastep if pipe.mega_mode == "hybrid"
+                     else pipe._step)
 
     # Two feed modes (the reference benchmarks read fake data from RAM via
     # DummyFile — loading is outside the measured DSP cost):
@@ -150,7 +155,8 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
         "msps": statistics.median(per_rep),
         "per_rep_msps": per_rep,
         "compile_s": round(compile_s, 1),
-        "engine": "megakernel" if pipe.mega_plan is not None else "xla",
+        "engine": {"full": "megakernel", "hybrid": "hybrid"}.get(
+            pipe.mega_mode, "xla"),
         "block_samples": stride,
         "block_bytes": int(nbytes),
         "nchan_out": pipe.obs_out.nchan,
@@ -296,6 +302,26 @@ def main():
                                  min_block_samples=min_block // 4),
              max(reps - 2, 3), max(nblocks // 2, 2), feed,
              env={"DSPSR_TPU_NO_MEGA": "1"})
+
+        # HYBRID fused paths (megafil voltage front end + XLA tail in one
+        # jit program): in-stream SK on the flagship geometry, and the
+        # nsub == 1 pure coherent dedispersion of an already-channelized
+        # (GUPPI RAW-style) band — both previously XLA-chain-only
+        safe("hybrid_sk", bench_fold, obs_real,
+             dataclasses.replace(flagship, sk_enable=True, sk_m=1024,
+                                 min_block_samples=min_block // 2),
+             max(reps - 2, 3), max(nblocks // 2, 2), feed)
+
+        # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
+        # at its own chirp with NO further channelization (dspsr without -F
+        # on a channelized instrument band)
+        obs_c32 = _make_obs(nchan=32, ndim=2, rate=12.5e6, bw=-400.0)
+        cfg_c32 = dataclasses.replace(
+            flagship, nchan=32, dispersion_measure=71.0,
+            frequency_resolution=131072, block_parts=8,
+            min_block_samples=0)
+        safe("hybrid_conv32", bench_fold, obs_c32, cfg_c32,
+             max(reps - 2, 3), max(nblocks // 2, 2), feed)
 
         # fused search-mode front end (digifil)
         fil_cfg = FilConfig(nchan=64, dispersion_measure=2.64, nbits=8,

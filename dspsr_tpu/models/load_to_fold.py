@@ -526,9 +526,12 @@ class FoldPipeline:
             resp = jones_product(scalar, jones)
             self._jones_fftorder = jones_fft_order(
                 resp, complex_input=not real_input)
+            # natural order for the fused front end's in-kernel 2x2 mix
+            self._jones_natural = resp.phasors
             self._response_fftorder = None
         else:
             self._jones_fftorder = None
+            self._jones_natural = None
 
         # --- cyclic fold (CyclicFold.C; folds lag products, not power) ---
         if cfg.cyclic_nchan:
@@ -577,17 +580,31 @@ class FoldPipeline:
             self.source_dms.append(self._source_dm(spec))
 
         # --- megakernel fast path (ops.megakernel) ---
+        # mega_mode: None (XLA chain) | "full" (everything incl. the fold in
+        # ONE pallas_call, build_megastep) | "hybrid" (the fused front end
+        # computes unpack+filterbank/convolution[+Jones][+passband], then the
+        # SAME XLA tail as the general chain — detect/cyclic/SK/fold — runs
+        # in the same jit program; covers in-stream SK, cyclic folds, Jones
+        # matrix convolution, multi-pulsar folds, passband taps, dump taps
+        # and nsub == 1 pure coherent dedispersion)
         self.mega_plan = None
         self._megastep = None
-        #: True when the fused path is the megafil front end + in-stream SK
-        #: + standard-layout fold (profiles/hits then use fold_block layout)
-        self._megask = False
-        if self._mega_eligible():
+        self.mega_mode = None
+        if self._mega_front_eligible():
             from ..ops.megakernel import MegaPlan
 
             det_np, det_tag = self._mega_detection()
+            geom_fb = self.fb_plan
+            if geom_fb is None:
+                # nsub == 1: the overlap-save convolution as a one-subband
+                # "filterbank" geometry (same factorized FFT structure)
+                geom_fb = FilterbankPlan(
+                    real_input=self.conv_plan.real_input, nchan_subband=1,
+                    freq_res=self.conv_plan.n_fft,
+                    nfilt_pos=self.conv_plan.nfilt_pos,
+                    nfilt_neg=self.conv_plan.nfilt_neg)
             mp = MegaPlan.from_filterbank(
-                self.fb_plan, self.nbin, obs.npol, det_np, obs.nbit,
+                geom_fb, self.nbin, obs.npol, det_np, obs.nbit,
                 nchan_in=obs.nchan,
                 ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0),
                 detection=det_tag, fourth_moment=cfg.fourth_moment)
@@ -599,15 +616,21 @@ class FoldPipeline:
                 mp = None
             if mp is not None:
                 self.mega_plan = mp
-                self._megask = self.sk_plan is not None
+                self.mega_mode = "full" if self._mega_full_eligible() \
+                    else "hybrid"
                 # adopt the rounded overlap so all block geometry agrees
-                self.fb_plan = FilterbankPlan(
-                    real_input=mp.real_input,
-                    nchan_subband=mp.nsub,
-                    freq_res=mp.freq_res,
-                    nfilt_pos=mp.nfilt_pos,
-                    nfilt_neg=mp.nfilt_neg,
-                )
+                if self.fb_plan is not None:
+                    self.fb_plan = FilterbankPlan(
+                        real_input=mp.real_input,
+                        nchan_subband=mp.nsub,
+                        freq_res=mp.freq_res,
+                        nfilt_pos=mp.nfilt_pos,
+                        nfilt_neg=mp.nfilt_neg,
+                    )
+                else:
+                    self.conv_plan = OverlapSavePlan(
+                        mp.real_input, mp.n_fft,
+                        mp.nfilt_pos, mp.nfilt_neg)
 
         # --- block geometry ---
         self._plan_blocks()
@@ -615,8 +638,12 @@ class FoldPipeline:
         if self.mega_plan is not None:
             from ..ops.megakernel import MegaConstants, build_megastep, unpack_affine
 
-            # per-window phase anchors (seg = output samples per window)
-            self.fold_plan = FoldPlan(self.nbin, self.mega_plan.nkeep)
+            # per-window phase anchors (seg = output samples per window;
+            # clamped when the tail shortens the stream, e.g. cyclic lags)
+            seg = self.mega_plan.nkeep
+            while seg > 1 and seg > self.out_per_block:
+                seg //= 2
+            self.fold_plan = FoldPlan(self.nbin, seg)
             if obs.nbit == 2:
                 scale, offset = 1.0, 0.0  # JA98 dynamic levels in-kernel
             else:
@@ -632,30 +659,21 @@ class FoldPipeline:
                                    self.mega_plan.nsamp_fft)
             else:
                 win = None
-            if self._megask:
-                # fused in-stream SK: megafil front end at a detection that
-                # exposes the per-pol powers, then the SAME sk_mask +
-                # fold_block code as the XLA chain, all in one jit program
+            if self.mega_mode == "hybrid":
+                # fused voltage front end + the SAME XLA tail as the
+                # general chain (detect/cyclic/SK/fold), one jit program
                 import dataclasses
 
-                if obs.npol == 2:
-                    need4 = self.det_state in (Signal.COHERENCE,
-                                               Signal.STOKES)
-                    front_plan = dataclasses.replace(
-                        self.mega_plan,
-                        npol_out=4 if need4 else 2,
-                        detection="coherence" if need4 else "auto",
-                        fourth_moment=False)
-                else:
-                    front_plan = dataclasses.replace(
-                        self.mega_plan, npol_out=1, detection="auto",
-                        fourth_moment=False)
-                cstf = MegaConstants(front_plan, resp, dtype=dt,
-                                     unpack_scale=scale,
-                                     unpack_offset=offset,
-                                     twobit=self.unpack_plan.twobit,
-                                     window=win)
-                self._megastep = self._build_megask_step(front_plan, cstf)
+                front_plan = dataclasses.replace(
+                    self.mega_plan, npol_out=1, detection="auto",
+                    fourth_moment=False)
+                cstf = MegaConstants(
+                    front_plan,
+                    None if self._jones_natural is not None else resp,
+                    dtype=dt, unpack_scale=scale, unpack_offset=offset,
+                    twobit=self.unpack_plan.twobit, window=win,
+                    jones=self._jones_natural)
+                self._megastep = self._build_hybrid_step(front_plan, cstf)
             else:
                 cst = MegaConstants(self.mega_plan, resp, dtype=dt,
                                     unpack_scale=scale, unpack_offset=offset,
@@ -685,7 +703,7 @@ class FoldPipeline:
         # --- accumulators ---
         nchan, npol = self.obs_out.nchan, self.obs_out.npol
         nsrc = len(self.predictors)
-        if self.mega_plan is not None and not self._megask:
+        if self.mega_mode == "full":
             # kernel layout: per input channel x [nplane, nsub, nbin]
             # profiles + per input channel hits
             self._profiles = jnp.zeros(
@@ -725,82 +743,56 @@ class FoldPipeline:
                Signal.COHERENCE: "coherence"}.get(self.det_state, "auto")
         return np_map[self.det_state], tag
 
-    def _build_megask_step(self, front_plan, cstf):
-        """Fused in-stream spectral kurtosis fold (one jit program).
+    def _build_hybrid_step(self, front_plan, cstf):
+        """Fused front end + the general XLA tail, ONE jit program.
 
-        The reference computes SK from the filterbank output and zaps the
-        offending samples before folding (``SpectralKurtosis.C``,
-        ``SKDetector``/``SKMasker``); its cost is dominated by the
-        filterbank itself.  Here the filterbank+detect runs as the Pallas
-        megafil front end (planes expose the per-pol powers SK needs), and
-        the mask + fold reuse the EXACT XLA-chain code (``sk_mask``,
-        ``expand_mask``, ``fold_block``) — so SK semantics match the
-        general path while the FLOPs ride the fused kernel.  2-bit JA98
-        excision weights combine in at per-window granularity, exactly as
-        in the fused fold (``window_weight_spans``).
+        The voltage-output megafil kernel computes unpack -> forward FFT ->
+        response (scalar chirp or Jones 2x2 mix) -> subband inversion —
+        the FLOP-dominant stages — and hands the undetected complex
+        baseband to the EXACT same tail code the XLA chain runs
+        (``_fold_tail``: cyclic lag products / detection / fourth moments /
+        in-stream SK / multi-pulsar fold / dump+passband taps).  So every
+        semantics matches the general path while the compute rides the
+        fused kernel.  2-bit JA98 excision weights combine in at per-window
+        granularity, exactly as in the fused fold (``window_weight_spans``).
         """
         from ..ops.megakernel import build_megafil
 
         mp = self.mega_plan
         front = build_megafil(front_plan, cstf, self.npart,
-                              return_weights=True)
+                              return_weights=True, output="voltage",
+                              passband=self.config.passband)
         nsub, nkeep, npart = mp.nsub, mp.nkeep, self.npart
         nchan_out = self.obs_in.nchan * nsub
         ndat_out = npart * nkeep
-        det_state = self.det_state
-        sk_plan = self.sk_plan
-        fold_plan = self.fold_plan
-        fourth = self.config.fourth_moment
-        npol_in = self.obs_in.npol
+        want_pb = self.config.passband
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(profiles, hits, raw, phi0, dphi):
-            P, wwin = front(raw)  # [nchan_out, nplane_f, ndat], [nchan_in, npart]
-            power = P[:, :2] if npol_in == 2 else P[:, :1]
-            if det_state == Signal.INTENSITY:
-                d = (P[:, 0:1] + P[:, 1:2]) if npol_in == 2 else P[:, 0:1]
-            elif det_state == Signal.PPQQ:
-                d = P[:, :2]
-            elif det_state == Signal.PP:
-                d = P[:, 0:1]
-            elif det_state == Signal.QQ:
-                d = P[:, 1:2]
-            elif det_state == Signal.COHERENCE:
-                d = P
-            else:  # STOKES from coherence planes (stokes_detect.ic:38-43)
-                d = jnp.stack([P[:, 0] + P[:, 1], P[:, 0] - P[:, 1],
-                               2.0 * P[:, 2], 2.0 * P[:, 3]], axis=1)
-            if fourth:
-                from ..ops.fourth_moment import fourth_moment
-
-                d = fourth_moment(d)
+            out = front(raw)
+            y, wwin = out[0], out[1]
+            pb = out[2] if want_pb else None
             # per-window excision weights broadcast over each window's
             # nkeep outputs and over that input channel's subbands
             w_s = jnp.repeat(wwin, nsub, axis=0)
-            w_samp = jnp.broadcast_to(
+            weights = jnp.broadcast_to(
                 w_s[:, :, None], (nchan_out, npart, nkeep)
             ).reshape(nchan_out, ndat_out)
-            nblk = ndat_out // sk_plan.M
-            skw = expand_mask(sk_mask(power, sk_plan, nblk), sk_plan.M)
-            pad = ndat_out - skw.shape[-1]
-            if pad > 0:
-                skw = jnp.concatenate(
-                    [skw, jnp.ones((nchan_out, pad), jnp.float32)], axis=-1)
-            weights = w_samp * skw[:, :ndat_out]
-            return fold_block(profiles, hits, d, weights, phi0, dphi,
-                              fold_plan)
+            return self._fold_tail(profiles, hits, y, weights, phi0, dphi,
+                                   pb=pb)
 
         return step
 
-    def _mega_eligible(self) -> bool:
-        """The fused Pallas step covers real or analytic 2/4/8-bit input
-        (single- or multi-channel, e.g. GUPPI RAW / VDIF baseband) through
-        the convolving filterbank into a detected fold — any detection
-        state (Intensity/PPQQ/PP/QQ/Coherence/Stokes), fourth moments,
-        apodization windows, and 2-bit JA98 dynamic-level unpacking with
-        excision weights folded into the fused fold.  Anything needing
-        in-stream statistics (SK), taps or exotic ops uses the general XLA
-        path."""
+    def _mega_front_eligible(self) -> bool:
+        """Can the fused Pallas front end run at all?  It covers real or
+        analytic 2/4/8/32-bit offset-binary input (single- or
+        multi-channel, e.g. GUPPI RAW / VDIF baseband) through the
+        convolving filterbank OR the nsub == 1 overlap-save convolution
+        (scalar chirp or Jones matrix), with apodization and 2-bit JA98
+        dynamic-level unpacking.  Only the in-stream spectral RFI filter
+        (a per-window median zap applied in the spectral domain,
+        ops.rfifilter) and fixed-level 2-bit unpacking force the general
+        XLA chain."""
         import os
 
         cfg = self.config
@@ -809,20 +801,32 @@ class FoldPipeline:
         return (
             cfg.use_megakernel
             and "DSPSR_TPU_NO_MEGA" not in os.environ
-            and self.fb_plan is not None
+            and (self.fb_plan is not None or self.conv_plan is not None)
             and obs.state in (Signal.NYQUIST, Signal.ANALYTIC)
-            and obs.nbit in (2, 4, 8)
+            and obs.nbit in (2, 4, 8, 32)
             and not cfg.twos_complement
             # 2-bit: only the JA98 dynamic path is fused (the reference's
             # 2-bit instruments all use it); fixed-level 2-bit -> XLA
             and (obs.nbit != 2 or self.unpack_plan.twobit is not None)
-            and self.cyclic_plan is None
-            and self._jones_fftorder is None
             and not cfg.rfi_filter
-            and not cfg.dump_path
             and (det_np == 1 or obs.npol == 2)
             and (self.det_state not in (Signal.PP, Signal.QQ)
                  or obs.npol == 2)
+            and (self._jones_natural is None or obs.npol == 2)
+        )
+
+    def _mega_full_eligible(self) -> bool:
+        """Everything-in-one-kernel (build_megastep, incl. the in-kernel
+        fold): requires the filterbank geometry (the in-kernel fold loop
+        unrolls freq_res/R1 steps — unbounded at nsub == 1) and none of the
+        tail ops the hybrid step handles in XLA."""
+        cfg = self.config
+        return (
+            self.fb_plan is not None
+            and self.sk_plan is None
+            and self.cyclic_plan is None
+            and self._jones_natural is None
+            and not cfg.dump_path
             and not cfg.additional_pulsars
             and not cfg.passband
         )
@@ -1049,6 +1053,28 @@ class FoldPipeline:
 
                 x = sl(x) if not isinstance(x, tuple) else (sl(x[0]), sl(x[1]))
             y = x
+        weights = self._stream_weights(
+            w, self.obs_out.nchan // (n_chan_shards if sharded else 1),
+            self._tail_ndat(y), chan_ix=chan_ix,
+            n_chan_shards=n_chan_shards)
+        return self._fold_tail(profiles, hits, y, weights, phi0, dphi, pb=pb)
+
+    def _tail_ndat(self, y) -> int:
+        """Detected samples the tail will fold from voltage stream ``y``."""
+        ndat = (y[0] if isinstance(y, tuple) else y).shape[2]
+        if self.cyclic_plan is not None:
+            ndat -= self.cyclic_plan.nlag - 1
+        return ndat
+
+    def _fold_tail(self, profiles, hits, y, weights, phi0, dphi, pb=None):
+        """The general tail shared by the XLA chain and the hybrid fused
+        step: cyclic lag products / detection / fourth moments / in-stream
+        SK / the (multi-source) fold / dump+passband extras.
+
+        ``y``: voltage stream (SC pair, or real array when no FFT stage);
+        ``weights``: per-sample [nchan_out(_local), ndat_out] excision
+        weights (before the SK mask, which is computed here from ``y``).
+        """
         if self.cyclic_plan is not None:
             from ..ops.cyclic import lag_planes
 
@@ -1059,7 +1085,7 @@ class FoldPipeline:
             from ..ops.fourth_moment import fourth_moment
 
             d = fourth_moment(d)
-        nchan, npol = d.shape[0], d.shape[1]
+        nchan = d.shape[0]
         ndat_out = d.shape[2]
         # every output sample folds: the trailing partial segment is padded
         # to seg_len with zero WEIGHTS (the reference folds whole blocks,
@@ -1069,8 +1095,7 @@ class FoldPipeline:
         pad = nuse - ndat_out
         dump = (jnp.transpose(d, (2, 0, 1)).astype(jnp.float32)
                 if self.config.dump_path else None)
-        weights = self._stream_weights(w, nchan, ndat_out, chan_ix=chan_ix,
-                                       n_chan_shards=n_chan_shards)
+        weights = weights[:, :ndat_out]
         if self.sk_plan is not None:
             if isinstance(y, tuple):
                 power = y[0] * y[0] + y[1] * y[1]  # [nchan, npol, ndat] per pol
@@ -1241,23 +1266,20 @@ class FoldPipeline:
 
             self._maybe_divide(batch[0][3])
             with rep.stage("device_step"):
-                if self._megastep is not None:
+                if self._megastep is not None or len(batch) == 1:
                     raw, phi0, dphi, t_out0 = batch[0]
-                    self._profiles, self._hits = self._megastep(
-                        self._profiles, self._hits, jnp.asarray(raw),
-                        jnp.asarray(phi0), jnp.asarray(dphi))
-                elif len(batch) == 1:
-                    raw, phi0, dphi, t_out0 = batch[0]
-                    res = self._step(
+                    fn = (self._megastep if self._megastep is not None
+                          else self._step)
+                    res = fn(
                         self._profiles, self._hits, jnp.asarray(raw),
                         jnp.asarray(phi0), jnp.asarray(dphi))
                     res = list(res)
                     self._profiles, self._hits = res[0], res[1]
                     k = 2
-                    if self.config.dump_path:
+                    if self.config.dump_path and len(res) > k:
                         self._write_dump(np.asarray(res[k]))
                         k += 1
-                    if self.config.passband:
+                    if self.config.passband and len(res) > k:
                         pbb = np.asarray(res[k], np.float64)
                         self._passband = (pbb if self._passband is None
                                           else self._passband + pbb)
@@ -1336,7 +1358,7 @@ class FoldPipeline:
         else:
             prof = np.asarray(self._profiles)
             hits = np.asarray(self._hits)
-        if self.mega_plan is not None and not self._megask:
+        if self.mega_mode == "full":
             # mega layout [nchan_in, npol_out, nsub, nbin] -> archive
             # [nchan_out, npol, nbin]; hits are per INPUT channel (excision
             # weights) and broadcast over that channel's subbands
@@ -1366,7 +1388,7 @@ class FoldPipeline:
                 s for s in self._subints
                 if s[3] >= self.config.minimum_integration_length]
         nsrc = len(self.predictors)
-        multi = nsrc > 1 and self.mega_plan is None
+        multi = nsrc > 1 and self.mega_mode != "full"
 
         def result(profs, hits, predictor, extras=None, nbin=None, dm=None):
             return FoldResult(

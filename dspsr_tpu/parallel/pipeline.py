@@ -99,11 +99,10 @@ class ShardedFoldPipeline:
         self.inner = FoldPipeline(source, cfg)
         if self.inner.mega_plan is not None and self.n_chan > 1:
             raise AssertionError("mega plan engaged despite chan sharding")
-        #: fused-fold variant (mega accumulator layout) vs fused in-stream
-        #: SK variant (megafil front end + fold_block, STANDARD layout)
-        self.megask = (self.inner.mega_plan is not None
-                       and self.inner._megask)
-        self.mega = self.inner.mega_plan is not None and not self.megask
+        #: fused-fold variant (mega accumulator layout) vs fused hybrid
+        #: variant (megafil front end + XLA tail, STANDARD layout)
+        self.megask = self.inner.mega_mode == "hybrid"
+        self.mega = self.inner.mega_mode == "full"
         self.config = cfg
         self.source = source
 
