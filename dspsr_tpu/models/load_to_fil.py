@@ -49,6 +49,7 @@ class FilConfig:
     fscrunch_factor: int = 1  # -f
     npol_out: int = 1  # -d
     nbits: int = 8  # -b output bits
+    twos_complement: bool = False  # input code convention (BitTable)
     #: -I: seconds between rescale offset/scale updates; 0 = every block
     #: (cumulative running stats).  Scales hold constant between updates
     #: (reference Rescale interval semantics, Signal/General/Rescale.C)
@@ -134,7 +135,8 @@ class FilPipeline:
         obs = self.obs_in
         real_input = obs.state == Signal.NYQUIST
 
-        self.unpack_plan = UnpackPlan(obs)
+        self.unpack_plan = UnpackPlan(
+            obs, twos_complement=cfg.twos_complement)
         if cfg.poln_select is not None and not 0 <= cfg.poln_select < obs.npol:
             raise ValueError(f"poln_select={cfg.poln_select} out of range")
         self.npol_stream = 1 if cfg.poln_select is not None else obs.npol
@@ -231,15 +233,17 @@ class FilPipeline:
         if (self.pfb_plan is None
                 and "DSPSR_TPU_NO_MEGA" not in _os.environ
                 and obs.nbit in (4, 8)
+                and (not self.unpack_plan.twos_complement or obs.nbit == 8)
                 and cfg.npol_out == 1 and cfg.poln_select is None
                 and self.fb_plan.freq_res > 1):
             from ..ops.megakernel import MegaPlan
             import jax as _jax
 
-            mp = MegaPlan.from_filterbank(self.fb_plan, nbin=2,
-                                          npol=obs.npol, npol_out=1,
-                                          nbit=obs.nbit,
-                                          nchan_in=obs.nchan)
+            mp = MegaPlan.from_filterbank(
+                self.fb_plan, nbin=2, npol=obs.npol, npol_out=1,
+                nbit=obs.nbit, nchan_in=obs.nchan,
+                twos_complement=self.unpack_plan.twos_complement,
+                interleave=self.unpack_plan.layout)
             if mp is not None and (mp.row_len >= 128
                                    or _jax.default_backend() == "cpu"):
                 self.megafil_plan = mp
@@ -260,7 +264,8 @@ class FilPipeline:
             from ..ops.megakernel import MegaConstants, build_megafil, \
                 unpack_affine
 
-            sc_, of_ = unpack_affine(obs.nbit)
+            sc_, of_ = unpack_affine(obs.nbit,
+                                     self.unpack_plan.twos_complement)
             resp_np = None
             if self._response_natural is not None:
                 rr, ri = self._response_natural

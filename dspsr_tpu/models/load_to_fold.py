@@ -607,7 +607,9 @@ class FoldPipeline:
                 geom_fb, self.nbin, obs.npol, det_np, obs.nbit,
                 nchan_in=obs.nchan,
                 ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0),
-                detection=det_tag, fourth_moment=cfg.fourth_moment)
+                detection=det_tag, fourth_moment=cfg.fourth_moment,
+                twos_complement=self.unpack_plan.twos_complement,
+                interleave=self.unpack_plan.layout)
             if mp is not None and mp.row_len < 128 \
                     and jax.default_backend() != "cpu":
                 # Mosaic DMA slices need 128-lane-aligned rows; tiny
@@ -647,7 +649,8 @@ class FoldPipeline:
             if obs.nbit == 2:
                 scale, offset = 1.0, 0.0  # JA98 dynamic levels in-kernel
             else:
-                scale, offset = unpack_affine(obs.nbit, cfg.twos_complement)
+                scale, offset = unpack_affine(
+                    obs.nbit, self.unpack_plan.twos_complement)
             resp = self.kernel.phasors if self.kernel is not None else None
             import os as _os
             dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
@@ -804,7 +807,9 @@ class FoldPipeline:
             and (self.fb_plan is not None or self.conv_plan is not None)
             and obs.state in (Signal.NYQUIST, Signal.ANALYTIC)
             and obs.nbit in (2, 4, 8, 32)
-            and not cfg.twos_complement
+            # two's complement is an affine in-kernel map at 8 bits
+            # (unpack_affine); 4-bit two's complement stays on the XLA chain
+            and (not self.unpack_plan.twos_complement or obs.nbit == 8)
             # 2-bit: only the JA98 dynamic path is fused (the reference's
             # 2-bit instruments all use it); fixed-level 2-bit -> XLA
             and (obs.nbit != 2 or self.unpack_plan.twobit is not None)

@@ -131,6 +131,12 @@ class MegaPlan:
     #: fold the 10 unique second-order Stokes products S_i*S_j too
     #: (FourthMoment.C, dspsr -4): 4 + 10 = 14 planes per subband
     fourth_moment: bool = False
+    #: 8-bit two's-complement codes (BitTable::TwosComplement — a pure
+    #: affine map of the signed byte, no wrap correction needed in-kernel)
+    twos_complement: bool = False
+    #: raw byte layout: "tfp" or "caspsr" (4-sample pol-interleaved blocks,
+    #: CASPSRSingleUnpacker.C:119-151); handled in the XLA pre-stage
+    interleave: str = "tfp"
 
     @property
     def n_fft(self) -> int:
@@ -233,6 +239,13 @@ class MegaPlan:
             raise ValueError("2-bit fast path requires npw (JA98 dynamic)")
         if self.nchan_in < 1:
             raise ValueError("nchan_in must be >= 1")
+        if self.twos_complement and self.nbit != 8:
+            raise ValueError("in-kernel two's complement is 8-bit only")
+        if self.interleave not in ("tfp", "caspsr"):
+            raise ValueError(f"unknown interleave: {self.interleave}")
+        if self.interleave == "caspsr" and (
+                self.nbit != 8 or self.nchan_in != 1 or self.ndim != 1):
+            raise ValueError("CASPSR layout is 8-bit real single-channel")
 
     # ---- construction ----
 
@@ -256,7 +269,9 @@ class MegaPlan:
                         nchan_in: int = 1,
                         ndat_per_weight: int = 0,
                         detection: str = "auto",
-                        fourth_moment: bool = False) -> Optional["MegaPlan"]:
+                        fourth_moment: bool = False,
+                        twos_complement: bool = False,
+                        interleave: str = "tfp") -> Optional["MegaPlan"]:
         """Build from an ops.filterbank.FilterbankPlan; None if ineligible.
 
         ``ndat_per_weight``: pass the excision block length for 2-bit input
@@ -278,7 +293,8 @@ class MegaPlan:
                    nfilt_pos=fb_plan.nfilt_pos, nfilt_neg=nfilt_neg,
                    nbin=nbin, npol=npol, npol_out=npol_out, nbit=nbit,
                    real_input=fb_plan.real_input, nchan_in=nchan_in,
-                   npw=npw, detection=detection, fourth_moment=fourth_moment)
+                   npw=npw, detection=detection, fourth_moment=fourth_moment,
+                   twos_complement=twos_complement, interleave=interleave)
         if plan.nkeep <= 0:
             return None
         if nbit == 2 and (npw <= 0 or plan.row_len % npw):
@@ -434,17 +450,25 @@ class MegaConstants:
 
 def unpack_affine(nbit: int, twos_complement: bool = False) -> Tuple[float, float]:
     """(scale, offset) such that value = code * scale + offset reproduces
-    ``unpack.unpackers._uniform_levels`` for offset-binary codes."""
+    ``unpack.unpackers._uniform_levels``.
+
+    Offset binary: code is the unsigned byte/field value.  Two's complement
+    (8-bit only): code is the SIGNED int8 value — the level index is
+    v + 128, so the map stays affine with offset shifted by 128 steps."""
     from ..unpack.bittable import BitTable, CodeType
 
     if nbit == 32:
         return 1.0, 0.0
-    if twos_complement:
-        raise NotImplementedError("megakernel fast path: offset-binary only")
     n = 1 << nbit
-    table = BitTable(nbit, CodeType.OFFSET_BINARY)
+    table = BitTable(nbit, CodeType.TWOS_COMPLEMENT if twos_complement
+                     else CodeType.OFFSET_BINARY)
     asc = np.sort(table.values.astype(np.float64))
     step = float((asc[-1] - asc[0]) / (n - 1)) if n > 1 else 2.0
+    if twos_complement:
+        if nbit != 8:
+            raise NotImplementedError(
+                "in-kernel two's complement is 8-bit only")
+        return step, float(asc[0]) + 128.0 * step
     return step, float(asc[0])
 
 
@@ -467,10 +491,16 @@ def window_weight_spans(plan: MegaPlan, npart: int):
 
 
 def _decode_codes_np(raw: np.ndarray, plan: MegaPlan, npart: int) -> np.ndarray:
-    """uint8 TFP bytes -> integer codes [nchan, npol, ndim, T] (numpy)."""
+    """uint8 bytes -> integer codes [nchan, npol, ndim, T] (numpy)."""
     p = plan
+    if p.interleave == "caspsr":
+        raw = np.ascontiguousarray(
+            raw.reshape(-1, p.npol, 4).transpose(0, 2, 1)).reshape(-1)
     if p.nbit == 8:
-        codes = raw.astype(np.int64)
+        if p.twos_complement:
+            codes = raw.astype(np.int8).astype(np.int64)
+        else:
+            codes = raw.astype(np.int64)
     else:
         per = 8 // p.nbit
         mask = (1 << p.nbit) - 1
@@ -651,6 +681,10 @@ def _prepare_input(raw, plan: MegaPlan, npart: int, cst: MegaConstants):
         x = jnp.transpose(x, (1, 2, 3, 0)).reshape(
             p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
         return x, lohi, wgt2
+    if p.interleave != "tfp":
+        from ..unpack.unpackers import reorder_bytes_tfp
+
+        raw = reorder_bytes_tfp(raw, p.interleave, p.npol)
     if p.nbit == 8:
         codes = jax.lax.bitcast_convert_type(raw, jnp.int8)
     else:
@@ -778,9 +812,11 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             if p.nbit == 32:
                 return v
             if p.nbit == 8:
-                # window arrives as int8 (Mosaic has no u8->f32 cast);
-                # undo the two's-complement wrap to recover the byte value
-                v = v + jnp.where(v < 0, f32(256), f32(0))
+                # window arrives as int8 (Mosaic has no u8->f32 cast)
+                if not p.twos_complement:
+                    # undo the wrap to recover the unsigned byte value
+                    # (two's complement IS the signed value: affine map)
+                    v = v + jnp.where(v < 0, f32(256), f32(0))
                 return v * f32(scale) + f32(offset)
             if p.nbit == 4:
                 return v * f32(scale) + f32(offset)
@@ -1123,7 +1159,10 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             if p.nbit == 32:
                 return v
             if p.nbit == 8:
-                v = v + jnp.where(v < 0, f32(256), f32(0))
+                if not p.twos_complement:
+                    # window arrives as int8; undo the wrap to recover the
+                    # unsigned byte (two's complement IS the signed value)
+                    v = v + jnp.where(v < 0, f32(256), f32(0))
                 return v * f32(scale) + f32(offset)
             if p.nbit == 4:
                 return v * f32(scale) + f32(offset)

@@ -233,6 +233,30 @@ def state_counts_from_byte_counts(byte_counts, nbit: int):
     return out
 
 
+#: Instrument-specific unpack options (the role of the reference Unpacker
+#: registry, ``Kernel/Formats/Unpacker_registry.C``: ``matches()`` keys on
+#: ``Observation::get_machine``).  Maps INSTRUMENT/machine name ->
+#: UnpackPlan overrides.
+INSTRUMENT_UNPACK = {
+    # CASPSR: 8-bit two's complement, FOUR consecutive samples per pol
+    # interleaved ([p0 t0..t3][p1 t0..t3] ...) — the reference benchmark's
+    # own instrument (CASPSRSingleUnpacker.C:103-151, Benchmark/header.dada)
+    "CASPSR": dict(layout="caspsr", twos_complement=True),
+}
+
+
+@partial(jax.jit, static_argnames=("layout", "npol"))
+def reorder_bytes_tfp(raw: jnp.ndarray, layout: str, npol: int) -> jnp.ndarray:
+    """Reorder an instrument's raw 8-bit byte stream into TFP sample order
+    (pure reshape/transpose — fuses into the consuming program)."""
+    if layout == "tfp":
+        return raw
+    if layout == "caspsr":
+        # [tblk, pol, 4] -> [tblk, 4, pol] (CASPSRSingleUnpacker.C:119-151)
+        return jnp.transpose(raw.reshape(-1, npol, 4), (0, 2, 1)).reshape(-1)
+    raise ValueError(f"unknown byte layout: {layout}")
+
+
 @dataclass
 class UnpackPlan:
     """Host-side description of how to unpack a stream; builds the tables."""
@@ -242,11 +266,23 @@ class UnpackPlan:
     dynamic_twobit: bool = True
     ndat_per_weight: int = 512
     cutoff_sigma: float = 3.0
+    #: byte layout: "tfp" (DADA convention) or an instrument key from
+    #: INSTRUMENT_UNPACK (auto-detected from obs.instrument)
+    layout: str = "tfp"
 
     def __post_init__(self):
+        inst = (self.obs.instrument or "").upper()
+        opts = INSTRUMENT_UNPACK.get(inst)
+        if opts is not None:
+            self.layout = opts.get("layout", self.layout)
+            self.twos_complement = opts.get("twos_complement",
+                                            self.twos_complement)
         nbit = self.obs.nbit
         if nbit not in (1, 2, 4, 8, 32):
             raise ValueError(f"unsupported NBIT={nbit}")
+        if self.layout == "caspsr" and (
+                nbit != 8 or self.obs.nchan != 1 or self.obs.ndim != 1):
+            raise ValueError("CASPSR layout is 8-bit real single-channel")
         if nbit == 2 and self.dynamic_twobit:
             self.twobit = TwoBitCorrection(self.ndat_per_weight, self.cutoff_sigma)
         else:
@@ -260,6 +296,8 @@ class UnpackPlan:
         o = self.obs
         if o.nbit == 32:
             return unpack_float32(raw, o.nchan, o.npol, o.ndim), None
+        if self.layout != "tfp":
+            raw = reorder_bytes_tfp(raw, self.layout, o.npol)
         if self.twobit is not None:
             return unpack_twobit_dynamic(
                 raw,
