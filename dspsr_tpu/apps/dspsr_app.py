@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--nbin", type=int, default=0, help="phase bins")
     p.add_argument("-c", "--period", type=float, default=None,
                    help="fold at constant period (seconds)")
+    p.add_argument("--cepoch", type=float, default=None, metavar="MJD",
+                   help="reference epoch for phase=0 when -c is used "
+                        "(reference --cepoch)")
+    p.add_argument("-w", "--predictors-file", default=None, metavar="FILE",
+                   help="file listing additional predictors/periods to "
+                        "fold, one per line (reference -w)")
     p.add_argument("-P", "--polyco", default=None, help="TEMPO polyco file")
     p.add_argument("-E", "--ephemeris", default=None, help="par file")
     p.add_argument("--fft-bench", action="store_true",
@@ -60,13 +66,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="override an Observation attribute before "
                         "processing (reference --set / ObservationChange)")
+    # source metadata overrides (reference Source/Clock option groups)
+    p.add_argument("-B", "--bandwidth", type=float, default=None,
+                   help="set the bandwidth in MHz (reference -B)")
+    p.add_argument("-f", "--frequency", type=float, default=None,
+                   help="set the centre frequency in MHz (reference -f)")
+    p.add_argument("-k", "--telescope", default=None,
+                   help="set the telescope name (reference -k)")
+    p.add_argument("--mjd", default=None, metavar="MJD",
+                   help="set the start MJD of the observation "
+                        "(reference -m MJD)")
+    p.add_argument("-C", "--offset-clock", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="adjust the clock by offset seconds (reference -C)")
+    # 2-bit excision options (reference -2 code, ExcisionUnpacker)
+    p.add_argument("-2", "--excision", default=None, metavar="CODE",
+                   dest="excision",
+                   help="2-bit excision options: tokens n<samples> (window "
+                        "length) and c<sigma> (cutoff), e.g. -2 n512:c3.5 "
+                        "(reference -2 / TwoBitCorrection)")
     # detection
     p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
                    help="output polns: 1=I 2=PPQQ 4=Stokes")
-    p.add_argument("-m", "--minimum-integration", type=float, default=0.0,
-                   metavar="SECONDS",
-                   help="discard subints shorter than this (reference -m -> "
-                        "PhaseSeriesUnloader minimum integration length)")
+    p.add_argument("-m", "--minimum-integration", "--Lmin", type=float,
+                   default=0.0, metavar="SECONDS",
+                   help="discard subints shorter than this (reference "
+                        "--Lmin -> PhaseSeriesUnloader minimum integration "
+                        "length)")
+    p.add_argument("-j", "--job", action="append", default=[],
+                   metavar="CMD",
+                   help="psrsh command run on each written archive "
+                        "(reference -j; repeatable)")
     p.add_argument("-J", "--post-script", default=None, metavar="SCRIPT",
                    help="run on each written archive: 'psrsh SCRIPT file' "
                         "when psrsh is installed, else SCRIPT is executed "
@@ -89,6 +119,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="subintegration length (seconds)")
     p.add_argument("--turns", type=int, default=0,
                    help="subintegration length in pulse turns")
+    p.add_argument("-s", "--single-pulse", action="store_true",
+                   help="create single-pulse subintegrations "
+                        "(= --turns 1; reference -s)")
+    p.add_argument("-A", "--single-archive", action="store_true",
+                   help="output a single archive with multiple "
+                        "integrations (reference -A; this is also the "
+                        "default here unless --nsub is given)")
+    p.add_argument("--nsub", type=int, default=0, metavar="N",
+                   help="output archives with N integrations each "
+                        "(reference --nsub)")
     # time selection
     p.add_argument("-S", "--seek", type=float, default=0.0,
                    help="skip this many seconds of input (reference -S)")
@@ -113,6 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skzs", type=int, default=3, help="SK sigma threshold")
     p.add_argument("--skz_no_tscr", action="store_true")
     p.add_argument("--skz_no_fscr", action="store_true")
+    p.add_argument("--skz_start", type=int, default=0,
+                   help="first channel where signal is expected")
+    p.add_argument("--skz_end", type=int, default=0,
+                   help="last channel where signal is expected (exclusive)")
     # engine
     p.add_argument("--block-parts", type=int, default=4,
                    help="FFT windows per device block")
@@ -189,6 +233,36 @@ def run_post_script(script: str, archive_path: str, quiet: bool) -> None:
             print(f"dspsr-tpu: -J {script}: {e}", file=_sys.stderr)
 
 
+def _run_jobs(args, path):
+    """-j inline psrsh commands + -J script on a written archive."""
+    if args.job:
+        import tempfile, os
+        with tempfile.NamedTemporaryFile("w", suffix=".psh",
+                                         delete=False) as f:
+            f.write("\n".join(args.job) + "\n")
+            tmp = f.name
+        try:
+            run_post_script(tmp, path, args.quiet)
+        finally:
+            os.unlink(tmp)
+    if args.post_script:
+        run_post_script(args.post_script, path, args.quiet)
+
+
+def _slice_result(res, lo, hi):
+    """Subint range [lo, hi) of a FoldResult (reference --nsub: archives
+    with N integrations each)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        res,
+        profiles=res.profiles[lo:hi],
+        hits=res.hits[lo:hi],
+        epochs=res.epochs[lo:hi],
+        integration_length=res.integration_length[lo:hi],
+    )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.platform import configure_from_env
@@ -196,6 +270,28 @@ def main(argv=None) -> int:
     from ..models.load_to_fold import FoldConfig, FoldPipeline
     from ..io.sources import open_source, MultiFile
     from ..io.archive import save_archive, filename_epoch
+
+    if args.single_pulse and not args.turns:
+        args.turns = 1
+    if args.predictors_file:
+        # -w: one predictor spec per line (reference multi-predictor file)
+        with open(args.predictors_file) as f:
+            args.pulsar.extend(
+                ln.strip() for ln in f if ln.strip() and not ln.startswith("#"))
+    excision_kw = {}
+    if args.excision:
+        # -2 n<samples> c<sigma>, ':' or ',' separated (reference -2 code)
+        for tok in args.excision.replace(",", ":").split(":"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if tok[0] in "nN":
+                excision_kw["ndat_per_weight"] = int(tok[1:])
+            elif tok[0] in "cC":
+                excision_kw["cutoff_sigma"] = float(tok[1:])
+            else:
+                print(f"dspsr-tpu: unknown -2 token {tok!r}", file=sys.stderr)
+                return 1
 
     cfg = FoldConfig(
         dispersion_measure=args.dm,
@@ -209,6 +305,7 @@ def main(argv=None) -> int:
         calibration_path=args.poln_cal,
         use_fft_bench=args.fft_bench,
         reference_phase=args.phase,
+        reference_epoch=args.cepoch,
         npol_out=args.npol,
         detection=args.detect,
         minimum_integration_length=args.minimum_integration,
@@ -221,6 +318,8 @@ def main(argv=None) -> int:
         sk_std_devs=args.skzs,
         sk_no_tscr=args.skz_no_tscr,
         sk_no_fscr=args.skz_no_fscr,
+        sk_chan_start=args.skz_start,
+        sk_chan_end=args.skz_end,
         seek_seconds=args.seek,
         interchannel_align=args.interchannel_align,
         fourth_moment=args.fourth_moment,
@@ -233,6 +332,7 @@ def main(argv=None) -> int:
         fft_window=(None if args.fft_window in (None, "none")
                     else args.fft_window),
         passband=args.passband,
+        **excision_kw,
         **({"min_block_samples": int(args.ram_mb * 1e6 / 4)}
            if args.ram_mb else {}),
     )
@@ -244,12 +344,25 @@ def main(argv=None) -> int:
     else:
         src = (open_source(args.files[0]) if len(args.files) == 1
                else MultiFile(args.files))
-    if args.name or args.set:
-        # ObservationChange (--set key=value + -N): override metadata on the
-        # data-side Observation before construction
+    if (args.name or args.set or args.bandwidth is not None
+            or args.frequency is not None or args.telescope
+            or args.mjd or args.offset_clock):
+        # ObservationChange (--set key=value + -N/-B/-f/-k/--mjd/-C):
+        # override metadata on the data-side Observation before construction
         o = src.obs
         if args.name:
             o = o.replace(source=args.name)
+        if args.bandwidth is not None:
+            o = o.replace(bandwidth=args.bandwidth)
+        if args.frequency is not None:
+            o = o.replace(centre_frequency=args.frequency)
+        if args.telescope:
+            o = o.replace(telescope=args.telescope)
+        if args.mjd:
+            from ..timing.mjd import MJD
+            o = o.replace(start_time=MJD.from_mjd(float(args.mjd)))
+        if args.offset_clock:
+            o = o.replace(start_time=o.start_time + args.offset_clock)
         for kv in args.set:
             k, _, v = kv.partition("=")
             o = o.replace(**{k: coerce_set_value(o, k, v)})
@@ -275,8 +388,7 @@ def main(argv=None) -> int:
         res = pipe.run()
         out = args.output or filename_epoch(res)
         save_archive(out, res)
-        if args.post_script:
-            run_post_script(args.post_script, out, args.quiet)
+        _run_jobs(args, out)
         if not args.quiet:
             print(f"dspsr-tpu: wrote {out}", file=sys.stderr)
         return 0
@@ -293,16 +405,29 @@ def main(argv=None) -> int:
         if args.repeat is not None and ipass > 0:
             root, dot, ext = out.rpartition(".")
             out = f"{root}_r{ipass}{dot}{ext}" if dot else f"{out}_r{ipass}"
-        save_archive(out, res)
-        if args.post_script:
-            run_post_script(args.post_script, out, args.quiet)
+        if args.nsub and res.profiles.shape[0] > args.nsub:
+            # --nsub: one archive per N subints, sequence-numbered
+            # (reference subints_per_archive; FilenameSequential)
+            root, dot, ext2 = out.rpartition(".")
+            nsub_tot = res.profiles.shape[0]
+            outs = []
+            for i, lo in enumerate(range(0, nsub_tot, args.nsub)):
+                part = _slice_result(res, lo, min(lo + args.nsub, nsub_tot))
+                po = (f"{root}_{i:04d}{dot}{ext2}" if dot
+                      else f"{out}_{i:04d}")
+                save_archive(po, part)
+                _run_jobs(args, po)
+                outs.append(po)
+            out = outs[-1]
+        else:
+            save_archive(out, res)
+            _run_jobs(args, out)
         for i, extra in enumerate(res.extra_sources or []):
             root, dot, e2 = out.rpartition(".")
             p2 = (f"{root}_src{i + 1}{dot}{e2}" if dot
                   else f"{out}_src{i + 1}")
             save_archive(p2, extra)
-            if args.post_script:
-                run_post_script(args.post_script, p2, args.quiet)
+            _run_jobs(args, p2)
         if not args.quiet:
             nsub = res.profiles.shape[0]
             print(f"dspsr-tpu: wrote {out} ({nsub} subint(s), "

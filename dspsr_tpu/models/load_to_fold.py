@@ -78,6 +78,10 @@ class FoldConfig:
     #: Archiver Passband extension, Archiver.C:407-773)
     passband: bool = False
     reference_phase: float = 0.0  # -p
+    #: reference epoch for phase zero when folding at a constant period
+    #: (reference --cepoch; default: the observation start time): an MJD
+    #: as float days or "MJD" string
+    reference_epoch: Optional[float] = None
 
     # detection
     npol_out: int = 1  # -d 1|2|4 -> Intensity|PPQQ|Stokes
@@ -148,6 +152,8 @@ class FoldConfig:
     sk_std_devs: int = 3  # -skn
     sk_no_tscr: bool = False  # --skz_no_tscr (SpectralKurtosis::set_options)
     sk_no_fscr: bool = False  # --skz_no_fscr
+    sk_chan_start: int = 0  # --skz_start: first channel with signal
+    sk_chan_end: int = 0  # --skz_end: last channel (exclusive; 0 = band end)
 
     def detection_state(self) -> Signal:
         if self.detection:
@@ -309,7 +315,11 @@ class FoldPipeline:
         # --- predictor & DM (LoadToFold::prepare, LoadToFold1.C:676-744) ---
         self.ephemeris = Ephemeris.load(cfg.ephemeris_path) if cfg.ephemeris_path else None
         if cfg.folding_period:
-            self.predictor = FixedPeriodPredictor(cfg.folding_period, obs.start_time)
+            epoch = obs.start_time
+            if cfg.reference_epoch is not None:
+                # --cepoch: phase zero anchored at a chosen MJD
+                epoch = MJD.from_mjd(float(cfg.reference_epoch))
+            self.predictor = FixedPeriodPredictor(cfg.folding_period, epoch)
         elif cfg.polyco_path:
             # -P accepts either a TEMPO polyco or a TEMPO2 ChebyModelSet
             # (auto-detected, as Pulsar::Predictor::load does)
@@ -558,6 +568,8 @@ class FoldPipeline:
             cfg.sk_m, cfg.sk_std_devs,
             detect_tscr=not cfg.sk_no_tscr,
             detect_fscr=not cfg.sk_no_fscr,
+            chan_start=cfg.sk_chan_start,
+            chan_end=cfg.sk_chan_end,
         ) if cfg.sk_enable else None
 
         # --- fold plan (Fold::prepare; choose_nbin Fold.C:275-382) ---

@@ -44,6 +44,11 @@ class SKPlan:
     detect_cell: bool = True
     detect_tscr: bool = True
     detect_fscr: bool = True
+    #: restrict excision to output channels [chan_start, chan_end)
+    #: (reference --skz_start/--skz_end "channels where signal is
+    #: expected"; 0, 0 = the whole band)
+    chan_start: int = 0
+    chan_end: int = 0
 
     def thresholds(self, m: int | None = None) -> Tuple[float, float]:
         t = sk_limits(m or self.M, self.std_devs)
@@ -116,6 +121,14 @@ def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
             jnp.logical_and(sk_f > lo_g, sk_f < hi_g).astype(jnp.float32),
             axis=0)
         w = w * good_f[None, :]
+
+    if plan.chan_start or plan.chan_end:
+        # excision limited to the channel range where signal is expected
+        # (reference SKDetector channel range, --skz_start/--skz_end)
+        end = plan.chan_end or nchan
+        ix = jnp.arange(nchan)
+        in_range = jnp.logical_and(ix >= plan.chan_start, ix < end)
+        w = jnp.where(in_range[:, None], w, 1.0)
 
     return w
 

@@ -248,3 +248,137 @@ class TestCliTailOptions:
                    "-J", str(script)])
         assert rc == 0
         assert marker.exists() and out in marker.read_text()
+
+
+class TestDspsrCliTail:
+    """Round-4 CLI tail: -B/-f/-k/--mjd/-C source overrides, -2 excision
+    code, --cepoch, -s single pulse, --nsub archive splitting, -w
+    predictors file, --skz_start/end (reference dspsr.C:225-500)."""
+
+    def _raw(self, tmp_path, n=1 << 16):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        p = str(tmp_path / "tail.raw")
+        with open(p, "wb") as f:
+            f.write(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+        return p
+
+    HDR = ["--header", "FREQ=1400", "BW=-2", "NCHAN=1", "NPOL=2", "NDIM=1",
+           "NBIT=8", "TSAMP=1.0", "UTC_START=2010-04-13-02:05:45"]
+
+    def test_source_overrides(self, tmp_path):
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        raw = self._raw(tmp_path)
+        out = str(tmp_path / "o.npz")
+        rc = main([raw, *self.HDR, "-c", "0.005", "-F", "4", "-D", "3",
+                   "-b", "16", "-O", out, "-q",
+                   "--bandwidth=-4.0", "-f", "1500.0", "-k", "GBT",
+                   "--mjd", "55299.5", "-C", "1.5"])
+        assert rc == 0
+        from dspsr_tpu.io.archive import load_archive
+
+        z = load_archive(out)
+        assert float(z["meta"]["centre_frequency"]) == 1500.0
+        assert float(z["meta"]["bandwidth"]) == -4.0
+        assert z["meta"]["telescope"] == "GBT"
+        # epoch = --mjd + clock offset + pipeline start shift; just check
+        # the day is the overridden one
+        assert abs(float(z["epochs_mjd"][0]) - 55299.5) < 0.1
+
+    def test_excision_code_and_sk_range(self, tmp_path):
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main, build_parser
+
+        args = build_parser().parse_args(
+            ["x", "-2", "n256:c4.5", "--skz_start", "1", "--skz_end", "3"])
+        assert args.excision == "n256:c4.5"
+        raw = self._raw(tmp_path)
+        out = str(tmp_path / "e.npz")
+        rc = main([raw, *self.HDR, "-c", "0.005", "-F", "4", "-D", "3",
+                   "-b", "16", "-O", out, "-q", "-2", "n256,c4.5",
+                   "--skz", "--skzm", "256", "--skz_start", "1",
+                   "--skz_end", "3"])
+        assert rc == 0
+
+    def test_cepoch_moves_the_peak(self, tmp_path):
+        """--cepoch shifts phase zero: folding the same pulse train with a
+        reference epoch offset by half a period rotates the profile by
+        half a turn."""
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        rng = np.random.default_rng(1)
+        ndat = 1 << 16
+        t = np.arange(ndat) / 1e6
+        noise = rng.normal(0, 10, (ndat, 2))
+        noise[(t % 0.004) < 0.0004] *= 5.0
+        raw = str(tmp_path / "cep.raw")
+        with open(raw, "wb") as f:
+            f.write(np.clip(np.round(noise + 127.5), 0, 255)
+                    .astype(np.uint8).tobytes())
+        peaks = []
+        # MJD of UTC_START, and the same plus half a period
+        base = 55299.0871527777777
+        for i, cep in enumerate([base, base + 0.002 / 86400.0]):
+            out = str(tmp_path / f"cep{i}.npz")
+            rc = main([raw, *self.HDR, "-c", "0.004", "-F", "4", "-D", "1",
+                       "-b", "32", "-O", out, "-q",
+                       "--cepoch", f"{cep:.12f}"])
+            assert rc == 0
+            z = np.load(out, allow_pickle=False)
+            prof = z["profiles"][0].sum(axis=(0, 1))
+            peaks.append(int(np.argmax(prof)))
+        shift = (peaks[0] - peaks[1]) % 32
+        assert abs(shift - 16) <= 2, peaks
+
+    def test_single_pulse_and_nsub(self, tmp_path):
+        import os
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        raw = self._raw(tmp_path, 1 << 17)
+        out = str(tmp_path / "sp.npz")
+        rc = main([raw, *self.HDR, "-c", "0.004", "-F", "4", "-D", "1",
+                   "-b", "16", "-O", out, "-q", "-s", "--nsub", "2"])
+        assert rc == 0
+        parts = sorted(p for p in os.listdir(tmp_path)
+                       if p.startswith("sp_") and p.endswith(".npz"))
+        assert len(parts) >= 2  # single pulses split 2 per archive
+        z = np.load(tmp_path / parts[0], allow_pickle=False)
+        assert z["profiles"].shape[0] == 2
+
+    def test_predictors_file(self, tmp_path):
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        raw = self._raw(tmp_path)
+        pf = tmp_path / "preds.txt"
+        pf.write_text("0.007\n# comment\n0.003\n")
+        out = str(tmp_path / "w.npz")
+        rc = main([raw, *self.HDR, "-c", "0.005", "-F", "4", "-D", "1",
+                   "-b", "16", "-O", out, "-q", "-w", str(pf)])
+        assert rc == 0
+        import os
+        assert os.path.exists(str(tmp_path / "w_src1.npz"))
+        assert os.path.exists(str(tmp_path / "w_src2.npz"))
+
+    def test_inline_job(self, tmp_path):
+        """-j CMD runs on each written archive (falls back to executing the
+        temp script when psrsh is absent — verify the hook fires by making
+        the 'command' a shell line the fallback executes)."""
+        import os
+        import numpy as np
+        from dspsr_tpu.apps.dspsr_app import main
+
+        raw = self._raw(tmp_path)
+        out = str(tmp_path / "j.npz")
+        marker = str(tmp_path / "ran.txt")
+        # without psrsh the temp script is executed directly with the
+        # archive path; make it a shell script
+        rc = main([raw, *self.HDR, "-c", "0.005", "-F", "4", "-D", "1",
+                   "-b", "16", "-O", out, "-q",
+                   "-j", f"#!/bin/sh\ntouch {marker}"])
+        assert rc == 0
