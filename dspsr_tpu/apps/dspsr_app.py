@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apodize each FFT window (reference --fft-window)")
     p.add_argument("--passband", action="store_true",
                    help="integrate the bandpass and attach it to the archive")
+    p.add_argument("-Y", "--pdmp", action="store_true",
+                   help="output pdmp extras: running moments of the "
+                        "detected stream (reference -Y / Stats op)")
     p.add_argument("-a", "--archive", default=None, metavar="CLASS",
                    help="output archive class: psrfits | npz "
                         "(default: from -O extension, else npz)")
@@ -332,6 +335,7 @@ def main(argv=None) -> int:
         fft_window=(None if args.fft_window in (None, "none")
                     else args.fft_window),
         passband=args.passband,
+        pdmp_stats=args.pdmp,
         **excision_kw,
         **({"min_block_samples": int(args.ram_mb * 1e6 / 4)}
            if args.ram_mb else {}),

@@ -79,6 +79,10 @@ def _save_npz(path: str, result: "FoldResult") -> None:
         # DigitiserCounts equivalent (reference ArchiverExtensions.C)
         arrays["digitizer_counts"] = np.asarray(result.digitizer_counts,
                                                 np.int64)
+    if getattr(result, "pdmp_stats", None) is not None:
+        # -Y pdmp extras (reference Stats op moments)
+        arrays["pdmp_stats"] = np.asarray(result.pdmp_stats, np.float64)
+        arrays["pdmp_nsamp"] = np.asarray(result.pdmp_nsamp, np.int64)
     np.savez_compressed(path, **arrays)
 
 

