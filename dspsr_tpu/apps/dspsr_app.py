@@ -89,8 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "length) and c<sigma> (cutoff), e.g. -2 n512:c3.5 "
                         "(reference -2 / TwoBitCorrection)")
     # detection
-    p.add_argument("-d", "--npol", type=int, default=1, choices=[1, 2, 4],
-                   help="output polns: 1=I 2=PPQQ 4=Stokes")
+    p.add_argument("-d", "--npol", type=int, default=1,
+                   choices=[1, 2, 3, 4],
+                   help="output polns: 1=I 2=PPQQ 3=(PP+QQ)^2 4=Stokes "
+                        "(reference -d)")
     p.add_argument("-m", "--minimum-integration", "--Lmin", type=float,
                    default=0.0, metavar="SECONDS",
                    help="discard subints shorter than this (reference "
@@ -107,7 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "Archiver post-processing script)")
     p.add_argument("--detect", default=None,
                    choices=["intensity", "ppqq", "pp", "qq", "coherence",
-                            "stokes"],
+                            "stokes", "nthpower"],
                    help="explicit detection state (reference Detection "
                         "states incl. 4-pol coherence products, "
                         "Detection.C:42-66); overrides -d")

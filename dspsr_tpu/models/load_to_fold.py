@@ -164,8 +164,10 @@ class FoldConfig:
                 "intensity": Signal.INTENSITY, "ppqq": Signal.PPQQ,
                 "pp": Signal.PP, "qq": Signal.QQ,
                 "coherence": Signal.COHERENCE, "stokes": Signal.STOKES,
+                "nthpower": Signal.NTHPOWER,
             }[self.detection.lower()]
-        return {1: Signal.INTENSITY, 2: Signal.PPQQ, 4: Signal.STOKES}[self.npol_out]
+        return {1: Signal.INTENSITY, 2: Signal.PPQQ, 3: Signal.NTHPOWER,
+                4: Signal.STOKES}[self.npol_out]
 
 
 @dataclass
@@ -762,6 +764,7 @@ class FoldPipeline:
         """(npol_out planes before fourth moments, kernel detection tag)
         for the resolved detection state."""
         np_map = {Signal.INTENSITY: 1, Signal.PP: 1, Signal.QQ: 1,
+                  Signal.NTHPOWER: 1,
                   Signal.PPQQ: 2, Signal.COHERENCE: 4, Signal.STOKES: 4}
         tag = {Signal.PP: "pp", Signal.QQ: "qq",
                Signal.COHERENCE: "coherence"}.get(self.det_state, "auto")
@@ -851,6 +854,7 @@ class FoldPipeline:
             self.fb_plan is not None
             and self.sk_plan is None
             and self.cyclic_plan is None
+            and self.det_state != Signal.NTHPOWER
             and self._jones_natural is None
             and not cfg.dump_path
             and not cfg.additional_pulsars

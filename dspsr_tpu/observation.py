@@ -39,6 +39,9 @@ class Signal(enum.Enum):
     #: Single polarization detected.
     PP = "PP"
     QQ = "QQ"
+    #: Square-law total power to the nth power (n=2): (PP+QQ)^2
+    #: (reference ``Signal::NthPower``, dspsr -d 3).
+    NTHPOWER = "NthPower"
     #: PP, QQ, Re[P*Q], Im[P*Q] (reference ``cross_detect.ic``).
     COHERENCE = "Coherence"
     #: Stokes I,Q,U,V (reference ``stokes_detect.ic``).
@@ -175,7 +178,8 @@ class Observation:
             out_ndim = ndim
         elif state == Signal.PPQQ:
             npol, out_ndim = 2, 1
-        elif state in (Signal.INTENSITY, Signal.PP, Signal.QQ):
+        elif state in (Signal.INTENSITY, Signal.PP, Signal.QQ,
+                       Signal.NTHPOWER):
             npol, out_ndim = 1, 1
         else:
             raise ValueError(f"not a detected state: {state}")

@@ -68,11 +68,20 @@ def detect_stokes(x) -> jnp.ndarray:
     )
 
 
+def detect_nthpower(x) -> jnp.ndarray:
+    """Square-law total power to the nth power (n = 2): (PP+QQ)^2
+    (reference ``Signal::NthPower``, ``Detection.C:48``; dspsr -d 3)."""
+    p = detect_intensity(x)
+    return p * p
+
+
 def detect(x, state: Signal) -> jnp.ndarray:
     """Dispatch on the requested output state (``Detection::set_output_state``,
     ``Detection.C:42-66``)."""
     if state == Signal.INTENSITY:
         return detect_intensity(x)
+    if state == Signal.NTHPOWER:
+        return detect_nthpower(x)
     if state == Signal.PPQQ:
         return detect_ppqq(x)
     if state == Signal.PP:

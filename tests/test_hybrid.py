@@ -234,3 +234,27 @@ def test_pdmp_stats_extras(hybrid_data, monkeypatch):
     # S1/nsamp is the mean detected power: positive and finite
     mean = res_h.pdmp_stats[..., 0] / res_h.pdmp_nsamp
     assert np.isfinite(mean).all() and (mean > 0).all()
+
+
+def test_nthpower_detection(hybrid_data, monkeypatch):
+    """-d 3: (PP+QQ)^2 folds on the hybrid path and equals the squared
+    intensity of the same stream (reference Signal::NthPower,
+    Detection.C:48)."""
+    import jax.numpy as jnp
+    from dspsr_tpu.ops.detection import detect
+    from dspsr_tpu.observation import Signal as Sig
+
+    rng = np.random.default_rng(2)
+    x = (jnp.asarray(rng.normal(size=(3, 2, 64)).astype(np.float32)),
+         jnp.asarray(rng.normal(size=(3, 2, 64)).astype(np.float32)))
+    nth = np.asarray(detect(x, Sig.NTHPOWER))
+    i = np.asarray(detect(x, Sig.INTENSITY))
+    assert np.allclose(nth, i * i, rtol=1e-6)
+
+    p1, _ = hybrid_data
+    pipe_h, res_h = _run(p1, dict(npol_out=3), monkeypatch=monkeypatch)
+    assert pipe_h.mega_mode == "hybrid"
+    assert res_h.obs.state == Signal.NTHPOWER
+    pipe_x, res_x = _run(p1, dict(npol_out=3), nomega=True,
+                         monkeypatch=monkeypatch)
+    assert _max_err(res_h.profiles, res_x.profiles) < 1e-4
