@@ -9,9 +9,12 @@ legacy mode) + payload.  Header words (little-endian uint32):
   w2: frame-length/8 incl header[24] | log2(nchan)[5] | version[3]
   w3: station[16] | thread[10] | bits-per-sample-1[5] | complex[1]
 
-Single-thread files are supported (the common pulsar case; the reference's
-multi-thread interleave can layer on the same frame walk).  Offset-binary
-sample codes, matching vdifio's convention.
+Single- AND multi-thread files are supported: the reference's vdif backend
+de-interleaves round-robin thread frames (each thread a polarization or a
+frequency channel; ``VDIFTwoBitCorrectionMulti`` et al.).  Here two threads
+map to the two polarizations and >2 threads map to channels (a sidecar
+NPOL can regroup), with frames de-interleaved at sample-code granularity.
+Offset-binary sample codes, matching vdifio's convention.
 """
 
 from __future__ import annotations
@@ -90,8 +93,16 @@ class VDIFFile(Source):
         size = os.path.getsize(path)
         self.nframes = size // self.frame_bytes
 
-        # frame rate from the first second boundary: count frames with the
-        # same 'seconds' stamp (assume constant frame rate, standard VDIF)
+        # multi-thread interleave: distinct thread IDs, round-robin frames
+        # (reference VDIFFile thread handling); the thread order within one
+        # group is recorded and verified over the next groups
+        self.thread_order = self._scan_threads()
+        self.nthread = len(self.thread_order)
+        self._thread_slot = {t: i for i, t in enumerate(self.thread_order)}
+
+        # frame rate from the first second boundary: the frame counter is
+        # PER THREAD in VDIF, so the max frame number + 1 is already the
+        # per-thread frames/second (assume constant rate, standard VDIF)
         frames_per_sec = self._count_frames_per_second()
         rate = frames_per_sec * self.samples_per_frame
 
@@ -99,16 +110,50 @@ class VDIFFile(Source):
         start = MJD(mjd, float(hdr["seconds"])) + (
             hdr["frame"] / frames_per_sec if frames_per_sec else 0.0)
 
+        # threads -> polarizations (the common dual-pol case) or channels
+        npol = 1
+        if self.nthread == 2:
+            npol = 2
+        elif self.nthread > 2:
+            nchan = nchan * self.nthread
+        if self.nthread > 1 and (1 << hdr["log2_nchan"]) != 1:
+            raise ValueError(
+                "multi-thread VDIF with multi-channel frames not supported")
         self.obs = Observation(
-            nchan=nchan, npol=1, ndim=ndim, nbit=nbit,
+            nchan=nchan, npol=npol, ndim=ndim, nbit=nbit,
             rate=float(rate),
             start_time=start,
             state=Signal.ANALYTIC if ndim == 2 else Signal.NYQUIST,
             format="vdif",
             instrument="VDIF",
-            ndat=self.nframes * self.samples_per_frame,
+            ndat=(self.nframes // self.nthread) * self.samples_per_frame,
         )
         self._load_sidecar()
+
+    def _scan_threads(self):
+        """Thread IDs in their round-robin group order; validates that the
+        pattern repeats over the first few groups."""
+        ids = []
+        with open(self.path, "rb") as f:
+            for i in range(min(self.nframes, 4096)):
+                f.seek(i * self.frame_bytes)
+                h = parse_vdif_header(f.read(16).ljust(16, b"\0"))
+                t = h["thread"]
+                if t in ids:
+                    break
+                ids.append(t)
+        n = len(ids)
+        if n > 1:
+            with open(self.path, "rb") as f:
+                for i in range(min(self.nframes, 8 * n)):
+                    f.seek(i * self.frame_bytes)
+                    h = parse_vdif_header(f.read(16).ljust(16, b"\0"))
+                    if h["thread"] != ids[i % n]:
+                        raise ValueError(
+                            "irregular VDIF thread interleave (frame "
+                            f"{i}: thread {h['thread']}, expected "
+                            f"{ids[i % n]})")
+        return ids
 
     def _count_frames_per_second(self) -> int:
         sec0 = self._hdr0["seconds"]
@@ -177,10 +222,11 @@ class VDIFFile(Source):
         return self.obs.ndat
 
     def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        if self.nthread > 1:
+            return self._read_multithread(start, nsamp)
         bps_bits = self.obs.nchan * self.obs.npol * self.obs.ndim * self.obs.nbit
         out = np.zeros(nsamp * bps_bits // 8, np.uint8)
         spf = self.samples_per_frame
-        frame_payload = self.payload_bytes
         filled = 0
         with open(self.path, "rb") as f:
             while filled < nsamp:
@@ -197,3 +243,64 @@ class VDIFFile(Source):
                     filled * bps_bits // 8 + len(buf)] = np.frombuffer(buf, np.uint8)
                 filled += take
         return out
+
+    def _read_thread_stream(self, slot: int, start: int, nsamp: int) -> np.ndarray:
+        """One thread's contiguous payload bytes for per-thread samples
+        [start, start+nsamp) (whole-byte aligned reads; nbit in 2/4/8
+        keeps bits_per_sample a divisor or multiple of 8)."""
+        hdr0_bits = self.obs.ndim * self._hdr_nbit
+        spf = self.samples_per_frame
+        nth = self.nthread
+        out = np.zeros(-(-nsamp * hdr0_bits // 8), np.uint8)
+        filled = 0
+        with open(self.path, "rb") as f:
+            while filled < nsamp:
+                pos = start + filled
+                if pos >= self.total_samples:
+                    break
+                jframe = pos // spf  # per-thread frame index
+                within = pos % spf
+                take = min(nsamp - filled, spf - within)
+                gframe = jframe * nth + slot  # file frame index
+                f.seek(gframe * self.frame_bytes + self.header_bytes
+                       + within * hdr0_bits // 8)
+                buf = f.read(-(-take * hdr0_bits // 8))
+                off = filled * hdr0_bits // 8
+                out[off: off + len(buf)] = np.frombuffer(buf, np.uint8)
+                filled += take
+        return out
+
+    @property
+    def _hdr_nbit(self) -> int:
+        return self.obs.nbit
+
+    def _read_multithread(self, start: int, nsamp: int) -> np.ndarray:
+        """De-interleave round-robin thread frames into TFP byte order
+        (time, chan, pol, dim) at sample-code granularity."""
+        nbit = self.obs.nbit
+        ndim = self.obs.ndim
+        nth = self.nthread
+        streams = [self._read_thread_stream(s, start, nsamp)
+                   for s in range(nth)]
+        if nbit == 8:
+            # units of ndim bytes per sample per thread
+            arr = np.stack([s[: nsamp * ndim].reshape(nsamp, ndim)
+                            for s in streams], axis=1)  # [t, thread, dim]
+            return np.ascontiguousarray(arr).reshape(-1)
+        # sub-byte codes: expand, interleave, repack (MSB first, matching
+        # unpack.bytes_to_codes / BitTable extract order)
+        per = 8 // nbit
+        mask = (1 << nbit) - 1
+        shifts = (np.arange(per) * nbit)[::-1]
+        codes = []
+        for s in streams:
+            c = ((s[:, None].astype(np.uint16) >> shifts[None, :]) & mask
+                 ).reshape(-1)[: nsamp * ndim]
+            codes.append(c.reshape(nsamp, ndim))
+        inter = np.stack(codes, axis=1).reshape(-1)  # [t, thread, dim] codes
+        pad = (-inter.size) % per
+        if pad:
+            inter = np.concatenate([inter, np.zeros(pad, inter.dtype)])
+        g = inter.reshape(-1, per).astype(np.uint16)
+        return (np.sum(g << shifts[None, :].astype(np.uint16), axis=1)
+                & 0xFF).astype(np.uint8)

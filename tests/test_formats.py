@@ -267,3 +267,104 @@ class TestPolnReshape:
         np.testing.assert_allclose(np.asarray(i)[:, 0],
                                    np.asarray(x)[:, 0] + np.asarray(x)[:, 1],
                                    rtol=1e-6)
+
+
+def make_vdif_multithread(path, nthread=2, nframes_per_thread=16,
+                          payload=1024, nbit=8, cplx=True,
+                          frames_per_sec=8, ref_epoch=20, seconds=1234):
+    """Round-robin multi-thread VDIF (thread IDs 0..nthread-1, frame
+    counters PER THREAD); returns {thread: payload bytes}."""
+    rng = np.random.default_rng(3)
+    frame_bytes = payload + 32
+    data = {t: rng.integers(0, 256, nframes_per_thread * payload)
+            .astype(np.uint8) for t in range(nthread)}
+    with open(path, "wb") as f:
+        for j in range(nframes_per_thread):
+            for t in range(nthread):
+                sec = seconds + (j // frames_per_sec)
+                frm = j % frames_per_sec
+                w0 = sec & 0x3FFFFFFF
+                w1 = (frm & 0xFFFFFF) | (ref_epoch << 24)
+                w2 = (frame_bytes // 8)
+                w3 = (t << 16) | ((nbit - 1) << 26) | ((1 if cplx else 0) << 31)
+                f.write(struct.pack("<4I", w0, w1, w2, w3))
+                f.write(struct.pack("<4I", 0, 0, 0, 0))
+                f.write(data[t][j * payload : (j + 1) * payload].tobytes())
+    return data
+
+
+class TestVDIFMultiThread:
+    def test_two_threads_are_pols(self, tmp_path):
+        p = str(tmp_path / "mt.vdif")
+        data = make_vdif_multithread(p, nthread=2)
+        src = open_source(p)
+        assert isinstance(src, VDIFFile)
+        o = src.obs
+        assert src.nthread == 2 and o.npol == 2 and o.nchan == 1
+        assert o.ndim == 2 and o.nbit == 8
+        # per-thread rate unchanged: 512 samples/frame, 8 frames/s
+        assert o.rate == 512 * 8
+        assert src.total_samples == 16 * 512
+        # TFP interleave: sample s = [p0 re, p0 im, p1 re, p1 im]
+        got = src.read_samples(0, 4)
+        exp = np.empty(16, np.uint8)
+        for s in range(4):
+            exp[4 * s + 0 : 4 * s + 2] = data[0][2 * s : 2 * s + 2]
+            exp[4 * s + 2 : 4 * s + 4] = data[1][2 * s : 2 * s + 2]
+        np.testing.assert_array_equal(got, exp)
+        # frame-boundary crossing reads stay consistent
+        a = src.read_samples(500, 24)
+        b = src.read_samples(0, 524)[500 * 4 :]
+        np.testing.assert_array_equal(a, b)
+
+    def test_two_bit_threads_repack(self, tmp_path):
+        from dspsr_tpu.unpack.unpackers import bytes_to_codes
+        import jax.numpy as jnp
+
+        p = str(tmp_path / "mt2.vdif")
+        data = make_vdif_multithread(p, nthread=2, nbit=2, payload=512)
+        src = open_source(p)
+        o = src.obs
+        assert o.nbit == 2 and o.npol == 2 and o.ndim == 2
+        nsamp = 64
+        got = np.asarray(bytes_to_codes(
+            jnp.asarray(src.read_samples(0, nsamp)), 2)).reshape(nsamp, 2, 2)
+        for t in (0, 1):
+            codes_t = np.asarray(bytes_to_codes(
+                jnp.asarray(data[t][: nsamp]), 2)).reshape(-1, 2)[: nsamp]
+            np.testing.assert_array_equal(got[:, t, :], codes_t)
+
+    def test_four_threads_are_channels(self, tmp_path):
+        p = str(tmp_path / "mt4.vdif")
+        make_vdif_multithread(p, nthread=4)
+        src = open_source(p)
+        assert src.obs.nchan == 4 and src.obs.npol == 1
+
+    def test_irregular_interleave_rejected(self, tmp_path):
+        p = str(tmp_path / "bad.vdif")
+        make_vdif_multithread(p, nthread=2)
+        # corrupt one frame's thread id to break the round-robin
+        import os
+        with open(p, "r+b") as f:
+            f.seek(3 * (1024 + 32) + 12)
+            w3 = struct.unpack("<I", f.read(4))[0]
+            f.seek(3 * (1024 + 32) + 12)
+            f.write(struct.pack("<I", (w3 & ~0x03FF0000) | (5 << 16)))
+        with pytest.raises(ValueError):
+            open_source(p)
+
+    def test_multithread_folds_end_to_end(self, tmp_path, monkeypatch):
+        from dspsr_tpu.models.load_to_fold import FoldConfig, FoldPipeline
+
+        monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        p = str(tmp_path / "mtf.vdif")
+        make_vdif_multithread(p, nthread=2, nframes_per_thread=64)
+        with open(p + ".hdr", "w") as f:
+            f.write("FREQ 1400\nBW -2\nTELESCOPE PKS\nSOURCE FAKE\n")
+        src = open_source(p)
+        pipe = FoldPipeline(src, FoldConfig(
+            folding_period=0.004, dispersion_measure=1.0, nchan=4, nbin=16,
+            block_parts=2, min_block_samples=0, digitizer_stats=False))
+        res = pipe.run()
+        assert np.isfinite(np.asarray(res.profiles)).all()
+        assert np.asarray(res.hits).sum() > 0

@@ -376,3 +376,36 @@ def test_parity_cyclic_fold(tmp_path):
     cfg = _cfg(nchan=1, cyclic_nchan=8, npol_out=1,
                frequency_resolution=64, dispersion_measure=1.0)
     _parity(tmp_path, obs, cfg, n_time=4, n_chan=1, rtol=5e-5)
+
+
+class TestShardedHybrid:
+    def test_sharded_cyclic_hybrid_matches_single(self, tmp_path):
+        """Cyclic folding SHARDED now rides the hybrid fused step (voltage
+        front end + XLA lag/fold tail) on every time shard; equals the
+        single-chip hybrid run exactly."""
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        obs = _obs()
+        cfg = _cfg(cyclic_nchan=4, cyclic_mover=1, nchan=4,
+                   frequency_resolution=1024, min_block_samples=8192,
+                   use_megakernel=True, digitizer_stats=False)
+        mesh = make_mesh(4, 1)
+        probe = ShardedFoldPipeline(
+            RawFileSource(_write(tmp_path, "cy.raw", 1 << 20), obs),
+            cfg, mesh)
+        assert probe.megask and probe.inner.mega_mode == "hybrid"
+        total = 2 * probe.superblock_stride + probe.inner.nsamp_overlap
+        path = _write(tmp_path, "cy.raw",
+                      int(round(total * obs.nbytes_per_sample)))
+
+        sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+        res_n = sh.run()
+        single = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert single.mega_mode == "hybrid"
+        res_1 = single.run()
+        scale = np.abs(res_1.profiles).max()
+        assert np.abs(res_n.profiles - res_1.profiles).max() / scale < 2e-5
+        np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
+        # cyclic spectra reconstruct from both
+        assert res_n.cyclic_spectra().shape == res_1.cyclic_spectra().shape
