@@ -314,11 +314,13 @@ def main():
 
         # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
         # at its own chirp with NO further channelization (dspsr without -F
-        # on a channelized instrument band)
+        # on a channelized instrument band).  n_fft 512k keeps the overlap
+        # under ~15% of the window (DM 71 smears ~57k samples/channel) and
+        # 4 windows/block amortize the per-dispatch cost (PERF.md)
         obs_c32 = _make_obs(nchan=32, ndim=2, rate=12.5e6, bw=-400.0)
         cfg_c32 = dataclasses.replace(
             flagship, nchan=32, dispersion_measure=71.0,
-            frequency_resolution=131072, block_parts=8,
+            frequency_resolution=1 << 19, block_parts=4,
             min_block_samples=0)
         safe("hybrid_conv32", bench_fold, obs_c32, cfg_c32,
              max(reps - 2, 3), max(nblocks // 2, 2), feed)

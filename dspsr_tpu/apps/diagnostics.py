@@ -369,11 +369,39 @@ def cbird(argv=None) -> int:
     return 0
 
 
+def sklimit(argv=None) -> int:
+    """Print spectral-kurtosis excision thresholds for a range of M
+    (reference ``Signal/Statistics/sklimit.C``: SKLimits via the Pearson IV
+    family, Nita & Gary 2010)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="sklimit-tpu")
+    p.add_argument("-m", type=int, default=128,
+                   help="samples integrated per SK estimate")
+    p.add_argument("-M", type=int, default=0,
+                   help="sweep M from -m to this (doubling)")
+    p.add_argument("-s", type=float, default=3.0,
+                   help="excision threshold in std deviations")
+    args = p.parse_args(argv)
+    from ..utils.stats import sk_limits
+
+    m = args.m
+    print(f"# M  std_devs  lower  upper")
+    while True:
+        t = sk_limits(m, args.s)
+        print(f"{m} {args.s} {t.lower:.6f} {t.upper:.6f}")
+        m *= 2
+        if not args.M or m > args.M:
+            break
+    return 0
+
+
 def main(argv=None) -> int:
     """Dispatcher: python -m dspsr_tpu.apps.diagnostics <tool> [args]."""
     tools = {"dmsmear": dmsmear, "digihdr": digihdr, "digistat": digistat,
              "digihist": digihist, "digitxt": digitxt, "passband": passband,
-             "digimon": digimon, "load_bits": load_bits, "cbird": cbird}
+             "digimon": digimon, "load_bits": load_bits, "cbird": cbird,
+             "sklimit": sklimit}
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in tools:
         print(f"usage: diagnostics {{{','.join(tools)}}} [options]",

@@ -684,12 +684,14 @@ class FoldPipeline:
             else:
                 win = None
             if self.mega_mode == "hybrid":
-                # fused voltage front end + the SAME XLA tail as the
-                # general chain (detect/cyclic/SK/fold), one jit program
+                # fused front end + the SAME XLA tail as the general chain
+                # (detect/cyclic/SK/fold), one jit program; detected output
+                # unless cyclic needs the voltage (_hybrid_front_mode)
                 import dataclasses
 
+                _, np_out, det_tag = self._hybrid_front_mode()
                 front_plan = dataclasses.replace(
-                    self.mega_plan, npol_out=1, detection="auto",
+                    self.mega_plan, npol_out=np_out, detection=det_tag,
                     fourth_moment=False)
                 cstf = MegaConstants(
                     front_plan,
@@ -770,34 +772,63 @@ class FoldPipeline:
                Signal.COHERENCE: "coherence"}.get(self.det_state, "auto")
         return np_map[self.det_state], tag
 
+    def _hybrid_front_mode(self):
+        """(output, npol_out, detection) for the hybrid front end.
+
+        Cyclic folding needs the undetected voltage; everything else uses a
+        DETECTED front end (fewer HBM planes, detection on the MXU pass):
+        the front computes the per-pol powers / coherence products the tail
+        needs, and ``_fold_tail_d`` converts to the target state.
+        """
+        if self.cyclic_plan is not None or self.obs_in.npol == 1:
+            if self.obs_in.npol == 1 and self.cyclic_plan is None:
+                return "detected", 1, "auto"
+            return "voltage", 1, "auto"
+        need4 = (self.det_state in (Signal.COHERENCE, Signal.STOKES)
+                 or self.config.fourth_moment)
+        if need4:
+            return "detected", 4, "coherence"
+        # PPQQ planes serve PPQQ/PP/QQ/Intensity/NthPower AND the SK
+        # per-pol powers
+        need2 = (self.det_state == Signal.PPQQ
+                 or self.sk_plan is not None
+                 or self.det_state in (Signal.PP, Signal.QQ))
+        if need2:
+            return "detected", 2, "auto"
+        return "detected", 1, "auto"
+
     def _build_hybrid_step(self, front_plan, cstf):
         """Fused front end + the general XLA tail, ONE jit program.
 
-        The voltage-output megafil kernel computes unpack -> forward FFT ->
-        response (scalar chirp or Jones 2x2 mix) -> subband inversion —
-        the FLOP-dominant stages — and hands the undetected complex
-        baseband to the EXACT same tail code the XLA chain runs
-        (``_fold_tail``: cyclic lag products / detection / fourth moments /
-        in-stream SK / multi-pulsar fold / dump+passband taps).  So every
-        semantics matches the general path while the compute rides the
-        fused kernel.  2-bit JA98 excision weights combine in at per-window
-        granularity, exactly as in the fused fold (``window_weight_spans``).
+        The megafil kernel computes unpack -> forward FFT -> response
+        (scalar chirp or Jones 2x2 mix) -> subband inversion [-> detect] —
+        the FLOP-dominant stages — and the SAME tail code as the XLA chain
+        finishes (cyclic lag products / detection conversion / fourth
+        moments / in-stream SK / multi-pulsar fold / dump+passband taps).
+        Cyclic folds take the voltage output; every other config takes the
+        cheaper DETECTED output (measured ~2x less HBM traffic).  2-bit
+        JA98 excision weights combine in at per-window granularity, exactly
+        as in the fused fold (``window_weight_spans``).
         """
         from ..ops.megakernel import build_megafil
 
         mp = self.mega_plan
+        mode, _, _ = self._hybrid_front_mode()
         front = build_megafil(front_plan, cstf, self.npart,
-                              return_weights=True, output="voltage",
+                              return_weights=True, output=mode,
                               passband=self.config.passband)
         nsub, nkeep, npart = mp.nsub, mp.nkeep, self.npart
         nchan_out = self.obs_in.nchan * nsub
         ndat_out = npart * nkeep
         want_pb = self.config.passband
+        det_state = self.det_state
+        npol_in = self.obs_in.npol
+        front_np = front_plan.npol_out
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(profiles, hits, raw, phi0, dphi):
             out = front(raw)
-            y, wwin = out[0], out[1]
+            data, wwin = out[0], out[1]
             pb = out[2] if want_pb else None
             # per-window excision weights broadcast over each window's
             # nkeep outputs and over that input channel's subbands
@@ -805,8 +836,33 @@ class FoldPipeline:
             weights = jnp.broadcast_to(
                 w_s[:, :, None], (nchan_out, npart, nkeep)
             ).reshape(nchan_out, ndat_out)
-            return self._fold_tail(profiles, hits, y, weights, phi0, dphi,
-                                   pb=pb)
+            if mode == "voltage":
+                return self._fold_tail(profiles, hits, data, weights,
+                                       phi0, dphi, pb=pb)
+            # detected front: convert the front planes to the target state
+            # (Detection.C:42-66 conventions; stokes_detect.ic)
+            P = data
+            power = P[:, :2] if front_np >= 2 else P[:, :1]
+            if det_state == Signal.INTENSITY:
+                d = (P[:, 0:1] + P[:, 1:2]) if front_np >= 2 else P[:, 0:1]
+            elif det_state == Signal.NTHPOWER:
+                s = (P[:, 0:1] + P[:, 1:2]) if front_np >= 2 else P[:, 0:1]
+                d = s * s
+            elif det_state == Signal.PPQQ:
+                d = P[:, :2]
+            elif det_state == Signal.PP:
+                d = P[:, 0:1]
+            elif det_state == Signal.QQ:
+                d = P[:, 1:2]
+            elif det_state == Signal.COHERENCE:
+                d = P
+            else:  # STOKES from coherence planes (stokes_detect.ic:38-43)
+                d = jnp.stack([P[:, 0] + P[:, 1], P[:, 0] - P[:, 1],
+                               2.0 * P[:, 2], 2.0 * P[:, 3]], axis=1)
+            return self._fold_tail_d(
+                profiles, hits, d,
+                power if self.sk_plan is not None else None,
+                weights, phi0, dphi, pb=pb)
 
         return step
 
@@ -1112,6 +1168,19 @@ class FoldPipeline:
             d = lag_planes(y, self.cyclic_plan.nlag)
         else:
             d = detect(y, self.det_state)
+        power = None
+        if self.sk_plan is not None:
+            if isinstance(y, tuple):
+                power = y[0] * y[0] + y[1] * y[1]  # per-pol |x|^2
+            else:
+                power = y * y
+        return self._fold_tail_d(profiles, hits, d, power, weights,
+                                 phi0, dphi, pb=pb)
+
+    def _fold_tail_d(self, profiles, hits, d, power, weights, phi0, dphi,
+                     pb=None):
+        """Tail from the DETECTED stream ``d`` (+ per-pol ``power`` for the
+        SK mask when enabled): fourth moments / SK / fold / extras."""
         if self.config.fourth_moment:
             from ..ops.fourth_moment import fourth_moment
 
@@ -1134,10 +1203,6 @@ class FoldPipeline:
                             axis=-1)
         weights = weights[:, :ndat_out]
         if self.sk_plan is not None:
-            if isinstance(y, tuple):
-                power = y[0] * y[0] + y[1] * y[1]  # [nchan, npol, ndat] per pol
-            else:
-                power = y * y
             nblk = ndat_out // self.sk_plan.M
             skw = expand_mask(sk_mask(power, self.sk_plan, nblk), self.sk_plan.M)
             skpad = ndat_out - skw.shape[-1]

@@ -674,12 +674,17 @@ def _prepare_input(raw, plan: MegaPlan, npart: int, cst: MegaConstants):
 
     p = plan
     totrows = p.total_rows(npart)
+    ndig = p.nchan_in * p.npol * p.ndim
     lohi = None
     wgt2 = None
+    # TFP -> FPT as ONE 2-D transpose [T, ndig] -> [ndig, T]: reshaping to
+    # [T, nchan, npol, ndim] first materializes an array whose tiny minor
+    # dims (2, 2) tile-pad ~128x in HBM (observed 31 GB for a 245 MB
+    # block); the 2-D form keeps both layouts dense
     if p.nbit == 32:
-        x = raw.reshape(-1, p.nchan_in, p.npol, p.ndim)
-        x = jnp.transpose(x, (1, 2, 3, 0)).reshape(
-            p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
+        ct = raw.reshape(-1, ndig).T.reshape(
+            p.nchan_in, p.npol, p.ndim, -1)
+        x = ct.reshape(p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
         return x, lohi, wgt2
     if p.interleave != "tfp":
         from ..unpack.unpackers import reorder_bytes_tfp
@@ -689,8 +694,8 @@ def _prepare_input(raw, plan: MegaPlan, npart: int, cst: MegaConstants):
         codes = jax.lax.bitcast_convert_type(raw, jnp.int8)
     else:
         codes = bytes_to_codes(raw, p.nbit).astype(jnp.int8)
-    ct = jnp.transpose(codes.reshape(-1, p.nchan_in, p.npol, p.ndim),
-                       (1, 2, 3, 0))  # [nchan, npol, ndim, T]
+    ct = codes.reshape(-1, ndig).T.reshape(
+        p.nchan_in, p.npol, p.ndim, -1)  # [nchan, npol, ndim, T]
     x = ct.reshape(p.nchan_in, p.npol, p.ndim, totrows, p.row_len)
     if p.npw:
         # JA98 per-block nlow -> levels + excision weights (the table

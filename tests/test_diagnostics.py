@@ -382,3 +382,18 @@ class TestDspsrCliTail:
                    "-b", "16", "-O", out, "-q",
                    "-j", f"#!/bin/sh\ntouch {marker}"])
         assert rc == 0
+
+
+def test_sklimit_cli(capsys):
+    """sklimit-tpu prints the Pearson-IV SK thresholds sweep (reference
+    Signal/Statistics/sklimit.C)."""
+    from dspsr_tpu.apps.diagnostics import sklimit
+    from dspsr_tpu.utils.stats import sk_limits
+
+    assert sklimit(["-m", "128", "-M", "256", "-s", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3  # header + M=128 + M=256
+    m128 = out[1].split()
+    t = sk_limits(128, 3.0)
+    assert abs(float(m128[2]) - t.lower) < 1e-6
+    assert abs(float(m128[3]) - t.upper) < 1e-6
