@@ -307,9 +307,10 @@ def main():
         # jit program): in-stream SK on the flagship geometry, and the
         # nsub == 1 pure coherent dedispersion of an already-channelized
         # (GUPPI RAW-style) band — both previously XLA-chain-only
+        # full-size blocks: unlike the XLA chain the hybrid never
+        # materializes framed windows, so flagship blocks fit in HBM
         safe("hybrid_sk", bench_fold, obs_real,
-             dataclasses.replace(flagship, sk_enable=True, sk_m=1024,
-                                 min_block_samples=min_block // 2),
+             dataclasses.replace(flagship, sk_enable=True, sk_m=1024),
              max(reps - 2, 3), max(nblocks // 2, 2), feed)
 
         # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
