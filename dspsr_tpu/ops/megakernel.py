@@ -725,11 +725,12 @@ def _prepare_input(raw, plan: MegaPlan, npart: int, cst: MegaConstants):
 
 def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
                    interpret: Optional[bool] = None,
-                   external_weights: bool = False):
+                   external_weights: bool = False,
+                   response_as_args: bool = False):
     """Returns a jittable fused fold step.
 
-    Signature: ``fn(profiles, hits, raw, phi0, dphi[, weights])`` ->
-    ``(profiles, hits)`` where profiles is
+    Signature: ``fn(profiles, hits, raw, phi0, dphi[, weights][, gr, gi])``
+    -> ``(profiles, hits)`` where profiles is
     ``f32[nchan_in, npol_out, nsub, nbin]`` and hits
     ``f32[nchan_in, nbin]`` (both donated carries).
 
@@ -738,7 +739,12 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
     ``external_weights=True`` the step takes an extra
     ``weights f32[nchan_in, npart]`` per-window multiplicative mask (SK/RFI
     masks computed outside the kernel; combined with the 2-bit excision
-    weights when both are present).
+    weights when both are present).  With ``response_as_args=True`` the
+    per-channel chirp pair rides as TRACED step arguments
+    ``gr/gi f32[nchan_in, R1, R2]`` instead of closure constants — so a
+    channel-sharded ``shard_map`` can hand each shard its own channels'
+    response while sharing ONE compiled program (the MPITrans-style
+    channel scatter on the fused path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -987,13 +993,15 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         scratch_shapes=scratch_shapes,
     )
 
-    const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi",
-                   "mr", "mi", "ur", "ui", "vr", "vi", "sel")
-    const_vals = [consts[n] for n in const_order]
+    pre_consts = [consts[n] for n in
+                  ("w1r", "w1i", "tr", "ti", "er", "ei")]
+    resp_consts = [] if response_as_args else [consts["gr"], consts["gi"]]
+    post_consts = [consts[n] for n in
+                   ("mr", "mi", "ur", "ui", "vr", "vi", "sel")]
     if has_lohi:
-        const_vals.append(jnp.asarray(cst.expand))
+        post_consts.append(jnp.asarray(cst.expand))
     if has_apod:
-        const_vals.append(jnp.asarray(cst.apod))
+        post_consts.append(jnp.asarray(cst.apod))
 
     call = pl.pallas_call(
         kernel,
@@ -1008,7 +1016,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         ) if not interpret else None,
     )
 
-    def _run(profiles, hits, raw, phi0, dphi, ext_wgt):
+    def _run(profiles, hits, raw, phi0, dphi, ext_wgt, resp):
         x, lohi, wgt2 = _prepare_input(raw, p, npart, cst)
         if wgt2 is None:
             wgt = jnp.ones((nchan, npart), jnp.float32)
@@ -1019,29 +1027,39 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         args = [phi0.reshape(npart, 1), dphi.reshape(npart, 1), wgt, x]
         if has_lohi:
             args.append(lohi)
-        args += const_vals
+        args += pre_consts
+        args += list(resp) if response_as_args else resp_consts
+        args += post_consts
         args += [profiles, hits.reshape(nchan, 1, nbin)]
         out = call(*args)
         return out[0], out[1].reshape(nchan, nbin)
+
+    def _f32(raw):
+        if raw.dtype == jnp.uint8 and p.nbit == 32:
+            return jax.lax.bitcast_convert_type(
+                raw.reshape(-1, 4), jnp.float32).reshape(-1)
+        return raw
 
     if external_weights:
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(profiles, hits, raw, phi0, dphi, weights):
             """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
             raw flat TFP bytes, phi0/dphi [npart], weights [nchan, npart]."""
-            if raw.dtype == jnp.uint8 and p.nbit == 32:
-                raw = jax.lax.bitcast_convert_type(
-                    raw.reshape(-1, 4), jnp.float32).reshape(-1)
-            return _run(profiles, hits, raw, phi0, dphi, weights)
+            return _run(profiles, hits, _f32(raw), phi0, dphi, weights, None)
+    elif response_as_args:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(profiles, hits, raw, phi0, dphi, gr, gi):
+            """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
+            raw flat TFP bytes, phi0/dphi [npart], gr/gi the per-channel
+            chirp pair [nchan, R1, R2] (channel-shardable)."""
+            return _run(profiles, hits, _f32(raw), phi0, dphi, None,
+                        (gr, gi))
     else:
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(profiles, hits, raw, phi0, dphi):
             """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
             raw flat TFP bytes, phi0/dphi [npart]."""
-            if raw.dtype == jnp.uint8 and p.nbit == 32:
-                raw = jax.lax.bitcast_convert_type(
-                    raw.reshape(-1, 4), jnp.float32).reshape(-1)
-            return _run(profiles, hits, raw, phi0, dphi, None)
+            return _run(profiles, hits, _f32(raw), phi0, dphi, None, None)
 
     return step
 

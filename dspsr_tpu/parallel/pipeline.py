@@ -94,11 +94,30 @@ class ShardedFoldPipeline:
             raise NotImplementedError(
                 "passband integration not supported sharded "
                 "(use FoldPipeline for --passband)")
-        if self.n_chan > 1:
-            cfg = dataclasses.replace(cfg, use_megakernel=False)
-        self.inner = FoldPipeline(source, cfg)
-        if self.inner.mega_plan is not None and self.n_chan > 1:
-            raise AssertionError("mega plan engaged despite chan sharding")
+        #: channel-sharded fused mode: when the fully-fused kernel is
+        #: eligible and the chan axis divides the INPUT channels, each
+        #: (time, chan) shard runs ONE compiled megastep on its own
+        #: channel group's bytes, with the per-channel chirp riding in as
+        #: a chan-sharded argument (the MPITrans channel scatter ON the
+        #: fast path; channel groups slice at whole input channels, so
+        #: each shard's forward FFT covers only its own channels — the
+        #: XLA chan path instead replicates the forward FFT and slices
+        #: the spectrum)
+        self.mega_chan = False
+        obs0 = source.obs
+        if (self.n_chan > 1 and cfg.use_megakernel
+                and obs0.nchan % self.n_chan == 0
+                and (obs0.npol * obs0.ndim * obs0.nbit) % 8 == 0):
+            probe = FoldPipeline(source, cfg)
+            if probe.mega_mode == "full":
+                self.inner = probe
+                self.mega_chan = True
+        if not self.mega_chan:
+            if self.n_chan > 1:
+                cfg = dataclasses.replace(cfg, use_megakernel=False)
+            self.inner = FoldPipeline(source, cfg)
+            if self.inner.mega_plan is not None and self.n_chan > 1:
+                raise AssertionError("mega plan engaged despite chan sharding")
         #: fused-fold variant (mega accumulator layout) vs fused hybrid
         #: variant (megafil front end + XLA tail, STANDARD layout)
         self.megask = self.inner.mega_mode == "hybrid"
@@ -128,7 +147,10 @@ class ShardedFoldPipeline:
                                    + inner.nsamp_overlap)
         self.superblock_stride = self.n_time * inner.stride_in_samples
 
-        self._step = self._build_step()
+        if self.mega_chan:
+            self._setup_chan_mega()
+        self._step = (self._build_step_chan_mega() if self.mega_chan
+                      else self._build_step())
         nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
         if self.mega:
             self._profiles = self._commit(np.zeros(
@@ -151,6 +173,91 @@ class ShardedFoldPipeline:
         self._byte_counts = np.zeros(256, np.int64)
 
     # ---- the jitted superblock step ----
+
+    def _setup_chan_mega(self):
+        """Local megastep + chan-sharded chirp for the channel-sharded
+        fused mode (one compiled program serves every channel group)."""
+        import os as _os
+
+        from ..ops.apodization import WindowType, build_window
+        from ..ops.megakernel import (MegaConstants, build_megastep,
+                                      unpack_affine)
+
+        inner = self.inner
+        obs = inner.obs_in
+        mp = inner.mega_plan
+        self.local_nchan = obs.nchan // self.n_chan
+        #: bytes per channel per input sample (whole-byte by construction)
+        self.bpc = (obs.npol * obs.ndim * obs.nbit) // 8
+        lp = dataclasses.replace(mp, nchan_in=self.local_nchan)
+        if obs.nbit == 2:
+            scale, offset = 1.0, 0.0
+        else:
+            scale, offset = unpack_affine(
+                obs.nbit, inner.unpack_plan.twos_complement)
+        win = (build_window(WindowType(self.config.fft_window),
+                            mp.nsamp_fft)
+               if self.config.fft_window else None)
+        dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
+            _os.environ.get("DSPSR_TPU_MEGA_DTYPE", "f32")]
+        cst_local = MegaConstants(lp, None, dtype=dt, unpack_scale=scale,
+                                  unpack_offset=offset,
+                                  twobit=inner.unpack_plan.twobit,
+                                  window=win)
+        self._chan_step = build_megastep(lp, cst_local, inner.npart,
+                                         response_as_args=True)
+        resp = inner.kernel.phasors if inner.kernel is not None else None
+        cst_full = MegaConstants(mp, resp, dtype=dt, unpack_scale=scale,
+                                 unpack_offset=offset,
+                                 twobit=inner.unpack_plan.twobit,
+                                 window=win)
+        self._gr_d = self._commit(np.asarray(cst_full.gr), P("chan"))
+        self._gi_d = self._commit(np.asarray(cst_full.gi), P("chan"))
+
+    def _split_chan_groups(self, row: np.ndarray) -> np.ndarray:
+        """One stripe's TFP bytes -> [n_chan, local_bytes] channel-group
+        rows (channels are contiguous within each sample, so a group is a
+        whole-byte slice per sample)."""
+        g = row.reshape(-1, self.n_chan, self.local_nchan * self.bpc)
+        return np.ascontiguousarray(g.transpose(1, 0, 2)).reshape(
+            self.n_chan, -1)
+
+    def _build_step_chan_mega(self):
+        inner = self.inner
+        n_time = self.n_time
+        halo_b = self.halo_bytes // self.n_chan
+
+        def local(profiles, hits, raw, tail, phi0, dphi, sel, gr, gi):
+            raw, tail = raw[0, 0], tail[0, 0]
+            phi0, dphi = phi0[0], dphi[0]
+            if halo_b:
+                # InputBuffering::Share over ICI, per channel group: my
+                # head bytes are my left neighbour's trailing halo (the
+                # "time" permute acts within each chan row of the mesh)
+                head = raw[:halo_b]
+                perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+                from_right = jax.lax.ppermute(head, "time", perm)
+                ti = jax.lax.axis_index("time")
+                halo = jnp.where(ti == n_time - 1, tail, from_right)
+                raw = jnp.concatenate([raw, halo])
+            dprof, dhits = self._chan_step(
+                jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
+                phi0, dphi, gr, gi)
+            s = sel[0, 0]
+            dprof = jax.lax.psum(dprof * s, "time")
+            dhits = jax.lax.psum(dhits * s, "time")
+            return profiles + dprof, hits + dhits
+
+        sm = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P("chan"), P("chan"), P("time", "chan"),
+                      P("time", "chan"), P("time"), P("time"), P("time"),
+                      P("chan"), P("chan")),
+            out_specs=(P("chan"), P("chan")),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=(0, 1))
 
     def _build_step(self):
         inner = self.inner
@@ -252,6 +359,23 @@ class ShardedFoldPipeline:
         stripes, tail = self.host_stripe_layout(sb_start)
         local = set(self.local_time_shards()) if self.distributed \
             else set(range(self.n_time))
+        if self.mega_chan:
+            # [n_time, n_chan, bytes]: each (time, chan) shard gets only
+            # ITS channel group's bytes (host de-interleave; the MPITrans
+            # channel scatter happens at read time, no device collective)
+            rows = np.zeros(
+                (self.n_time, self.n_chan, self.stride_bytes // self.n_chan),
+                np.uint8)
+            for i, (s, n) in enumerate(stripes):
+                if i in local:
+                    rows[i] = self._split_chan_groups(src.read_samples(s, n))
+            tail_rows = np.zeros(
+                (self.n_time, self.n_chan, self.halo_bytes // self.n_chan),
+                np.uint8)
+            if self.halo_bytes and (self.n_time - 1) in local:
+                tail_rows[-1] = self._split_chan_groups(
+                    src.read_samples(*tail))
+            return rows, tail_rows
         rows = np.zeros((self.n_time, self.stride_bytes), np.uint8)
         for i, (s, n) in enumerate(stripes):
             if i in local:
@@ -335,18 +459,24 @@ class ShardedFoldPipeline:
                 # another process — count it there instead (same total).
                 local = set(self.local_time_shards()) if self.distributed \
                     else set(range(self.n_time))
+                halo_per_row = (self.halo_bytes // self.n_chan
+                                if self.mega_chan else self.halo_bytes)
                 for i in local:
-                    self._byte_counts += np.bincount(rows[i], minlength=256)
+                    self._byte_counts += np.bincount(rows[i].ravel(),
+                                                     minlength=256)
                 for i in range(self.n_time):
                     if not self.halo_bytes:
                         continue
                     if i == self.n_time - 1:
                         if i in local:
                             self._byte_counts += np.bincount(
-                                tail_rows[-1], minlength=256)
+                                tail_rows[-1].ravel(), minlength=256)
                     elif (i + 1) in local:
+                        head = (rows[i + 1][..., :halo_per_row]
+                                if self.mega_chan
+                                else rows[i + 1][: self.halo_bytes])
                         self._byte_counts += np.bincount(
-                            rows[i + 1][: self.halo_bytes], minlength=256)
+                            head.ravel(), minlength=256)
             phi0 = np.empty((self.n_time, nseg), np.float32)
             dphi = np.empty((self.n_time, nseg), np.float32)
             for i, t0 in enumerate(t0s):
@@ -355,8 +485,9 @@ class ShardedFoldPipeline:
                 phi0[i] = (p0 - cfg.reference_phase) % 1.0
                 dphi[i] = dp
 
-            rows_d = self._commit(rows, P("time"))
-            tail_d = self._commit(tail_rows, P("time"))
+            row_spec = P("time", "chan") if self.mega_chan else P("time")
+            rows_d = self._commit(rows, row_spec)
+            tail_d = self._commit(tail_rows, row_spec)
             phi0_d = self._commit(phi0, P("time"))
             dphi_d = self._commit(dphi, P("time"))
             # fold once per division present in this superblock (one
@@ -367,9 +498,11 @@ class ShardedFoldPipeline:
                     self._current_div = v
                 mask = np.array([[1.0 if d == v else 0.0] for d in divs],
                                 np.float32)
-                self._profiles, self._hits = self._step(
-                    self._profiles, self._hits, rows_d, tail_d,
-                    phi0_d, dphi_d, self._commit(mask, P("time")))
+                step_args = [self._profiles, self._hits, rows_d, tail_d,
+                             phi0_d, dphi_d, self._commit(mask, P("time"))]
+                if self.mega_chan:
+                    step_args += [self._gr_d, self._gi_d]
+                self._profiles, self._hits = self._step(*step_args)
                 if self._div_first_time is None:
                     self._div_first_time = t0s[divs.index(v)]
                 self._div_samples += nuse * int(mask.sum())

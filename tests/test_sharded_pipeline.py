@@ -409,3 +409,66 @@ class TestShardedHybrid:
         np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
         # cyclic spectra reconstruct from both
         assert res_n.cyclic_spectra().shape == res_1.cyclic_spectra().shape
+
+    def test_chan_sharded_megakernel_matches_single(self, tmp_path):
+        """Channel-sharded fused mode: a (2 time x 2 chan) mesh where each
+        shard runs the megastep on its OWN input-channel group (chirp rides
+        in as a chan-sharded argument) equals the single-chip fused run."""
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        obs = _obs(ndim=2).replace(nchan=4, bandwidth=-4.0, rate=RATE / 4)
+        cfg = _cfg(nchan=64, frequency_resolution=256,
+                   min_block_samples=8192, use_megakernel=True,
+                   digitizer_stats=True)
+        mesh = make_mesh(4, 2)
+        probe = ShardedFoldPipeline(
+            RawFileSource(_write(tmp_path, "cm.raw", 1 << 20), obs),
+            cfg, mesh)
+        assert probe.mega_chan and probe.mega
+        assert probe.local_nchan == 2
+        total = 2 * probe.superblock_stride + probe.inner.nsamp_overlap
+        path = _write(tmp_path, "cm.raw",
+                      int(round(total * obs.nbytes_per_sample)))
+
+        sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+        res_n = sh.run()
+        single = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert single.mega_mode == "full"
+        res_1 = single.run()
+        assert res_n.profiles.shape == res_1.profiles.shape
+        scale = np.abs(res_1.profiles).max()
+        assert np.abs(res_n.profiles - res_1.profiles).max() / scale < 2e-5
+        np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
+        np.testing.assert_array_equal(res_n.digitizer_counts,
+                                      res_1.digitizer_counts)
+
+    def test_chan_sharded_mega_twobit(self, tmp_path):
+        """2-bit JA98 unpack + excision under the channel-sharded fused
+        mode (per-group nlow counting stays local to each shard)."""
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fold import FoldPipeline
+
+        obs = _obs(nbit=2, ndim=2).replace(nchan=2, bandwidth=-2.0,
+                                           rate=RATE / 2)
+        cfg = _cfg(nchan=8, frequency_resolution=1024, ndat_per_weight=64,
+                   min_block_samples=8192, use_megakernel=True,
+                   digitizer_stats=False, dispersion_measure=0.0,
+                   folding_period=0.004)
+        mesh = make_mesh(4, 2)
+        probe = ShardedFoldPipeline(
+            RawFileSource(_write(tmp_path, "cm2.raw", 1 << 20, twobit=True),
+                          obs), cfg, mesh)
+        assert probe.mega_chan and probe.inner.mega_plan.npw == 64
+        total = 2 * probe.superblock_stride + probe.inner.nsamp_overlap
+        path = _write(tmp_path, "cm2.raw",
+                      int(round(total * obs.nbytes_per_sample)),
+                      twobit=True, rfi_stretch=(30000, 34096))
+
+        sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+        res_n = sh.run()
+        single = FoldPipeline(RawFileSource(path, obs), cfg)
+        res_1 = single.run()
+        scale = np.abs(res_1.profiles).max()
+        assert np.abs(res_n.profiles - res_1.profiles).max() / scale < 2e-5
+        np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
