@@ -50,6 +50,9 @@ class FilConfig:
     npol_out: int = 1  # -d
     nbits: int = 8  # -b output bits
     twos_complement: bool = False  # input code convention (BitTable)
+    #: 2-bit: JA98 dynamic levels + excision (TwoBitCorrection) vs the
+    #: plain fixed BitTable map (BitUnpacker)
+    dynamic_twobit: bool = True
     #: -I: seconds between rescale offset/scale updates; 0 = every block
     #: (cumulative running stats).  Scales hold constant between updates
     #: (reference Rescale interval semantics, Signal/General/Rescale.C)
@@ -136,7 +139,8 @@ class FilPipeline:
         real_input = obs.state == Signal.NYQUIST
 
         self.unpack_plan = UnpackPlan(
-            obs, twos_complement=cfg.twos_complement)
+            obs, twos_complement=cfg.twos_complement,
+            dynamic_twobit=cfg.dynamic_twobit)
         if cfg.poln_select is not None and not 0 <= cfg.poln_select < obs.npol:
             raise ValueError(f"poln_select={cfg.poln_select} out of range")
         self.npol_stream = 1 if cfg.poln_select is not None else obs.npol
@@ -227,13 +231,18 @@ class FilPipeline:
         import os as _os
 
         self.megafil_plan = None
-        # 2-bit stays on the XLA chain here: search-mode excision zeroes
-        # the detected samples via weights, which the fused front end does
-        # not carry (the fold-mode megakernel folds weights into its one-hot)
+        # JA98 dynamic 2-bit stays on the XLA chain here: search-mode
+        # excision zeroes the detected samples via weights, which this
+        # weight-free front end does not carry (the fold-mode megakernel
+        # folds them into its one-hot); fixed-level 1/2-bit is weight-free
+        # and rides the fused front like 4/8/32-bit
         if (self.pfb_plan is None
                 and "DSPSR_TPU_NO_MEGA" not in _os.environ
-                and obs.nbit in (4, 8)
-                and (not self.unpack_plan.twos_complement or obs.nbit == 8)
+                and (obs.nbit in (4, 8, 32)
+                     or (obs.nbit in (1, 2)
+                         and self.unpack_plan.twobit is None))
+                and (not self.unpack_plan.twos_complement
+                     or obs.nbit in (2, 4, 8))
                 and cfg.npol_out == 1 and cfg.poln_select is None
                 and self.fb_plan.freq_res > 1):
             from ..ops.megakernel import MegaPlan

@@ -141,6 +141,10 @@ class FoldConfig:
 
     # unpacking
     twos_complement: bool = False
+    #: 2-bit: JA98 dynamic output levels + excision (TwoBitCorrection;
+    #: the reference's 2-bit instruments); False = the plain fixed
+    #: BitTable level map (BitUnpacker), no excision weights
+    dynamic_twobit: bool = True
     ndat_per_weight: int = 512
     cutoff_sigma: float = 3.0
 
@@ -385,6 +389,7 @@ class FoldPipeline:
         self.unpack_plan = UnpackPlan(
             obs,
             twos_complement=cfg.twos_complement,
+            dynamic_twobit=cfg.dynamic_twobit,
             ndat_per_weight=cfg.ndat_per_weight,
             cutoff_sigma=cfg.cutoff_sigma,
         )
@@ -627,7 +632,10 @@ class FoldPipeline:
             mp = MegaPlan.from_filterbank(
                 geom_fb, self.nbin, obs.npol, det_np, obs.nbit,
                 nchan_in=obs.nchan,
-                ndat_per_weight=(cfg.ndat_per_weight if obs.nbit == 2 else 0),
+                # JA98 dynamic levels only; fixed-level 2-bit is affine
+                ndat_per_weight=(cfg.ndat_per_weight
+                                 if self.unpack_plan.twobit is not None
+                                 else 0),
                 detection=det_tag, fourth_moment=cfg.fourth_moment,
                 twos_complement=self.unpack_plan.twos_complement,
                 interleave=self.unpack_plan.layout)
@@ -667,7 +675,7 @@ class FoldPipeline:
             while seg > 1 and seg > self.out_per_block:
                 seg //= 2
             self.fold_plan = FoldPlan(self.nbin, seg)
-            if obs.nbit == 2:
+            if self.mega_plan.npw:
                 scale, offset = 1.0, 0.0  # JA98 dynamic levels in-kernel
             else:
                 scale, offset = unpack_affine(
@@ -868,14 +876,14 @@ class FoldPipeline:
 
     def _mega_front_eligible(self) -> bool:
         """Can the fused Pallas front end run at all?  It covers real or
-        analytic 2/4/8/32-bit offset-binary input (single- or
-        multi-channel, e.g. GUPPI RAW / VDIF baseband) through the
+        analytic 1/2/4/8/32-bit input — offset-binary or two's-complement
+        codes, fixed (BitTable) or JA98 dynamic-level 2-bit — single- or
+        multi-channel (e.g. GUPPI RAW / VDIF baseband), through the
         convolving filterbank OR the nsub == 1 overlap-save convolution
-        (scalar chirp or Jones matrix), with apodization and 2-bit JA98
-        dynamic-level unpacking.  Only the in-stream spectral RFI filter
-        (a per-window median zap applied in the spectral domain,
-        ops.rfifilter) and fixed-level 2-bit unpacking force the general
-        XLA chain."""
+        (scalar chirp or Jones matrix), with apodization.  Only the
+        in-stream spectral RFI filter (a per-window median zap applied in
+        the spectral domain, ops.rfifilter) forces the general XLA
+        chain."""
         import os
 
         cfg = self.config
@@ -886,13 +894,11 @@ class FoldPipeline:
             and "DSPSR_TPU_NO_MEGA" not in os.environ
             and (self.fb_plan is not None or self.conv_plan is not None)
             and obs.state in (Signal.NYQUIST, Signal.ANALYTIC)
-            and obs.nbit in (2, 4, 8, 32)
-            # two's complement is an affine in-kernel map at 8 bits
-            # (unpack_affine); 4-bit two's complement stays on the XLA chain
-            and (not self.unpack_plan.twos_complement or obs.nbit == 8)
-            # 2-bit: only the JA98 dynamic path is fused (the reference's
-            # 2-bit instruments all use it); fixed-level 2-bit -> XLA
-            and (obs.nbit != 2 or self.unpack_plan.twobit is not None)
+            and obs.nbit in (1, 2, 4, 8, 32)
+            # two's complement is an affine in-kernel map at 2/4/8 bits
+            # (unpack_affine: sub-byte fields wrap to signed in-kernel)
+            and (not self.unpack_plan.twos_complement
+                 or obs.nbit in (2, 4, 8))
             and not cfg.rfi_filter
             and (det_np == 1 or obs.npol == 2)
             and (self.det_state not in (Signal.PP, Signal.QQ)

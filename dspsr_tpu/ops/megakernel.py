@@ -228,19 +228,20 @@ class MegaPlan:
         if self.fourth_moment and (
                 self.npol_out != 4 or self.detection != "auto"):
             raise ValueError("fourth moments need Stokes (npol_out=4, auto)")
-        if self.nbit not in (2, 4, 8, 32):
-            raise ValueError("nbit must be 2, 4, 8 or 32")
+        if self.nbit not in (1, 2, 4, 8, 32):
+            raise ValueError("nbit must be 1, 2, 4, 8 or 32")
         if self.npw:
             if self.nbit != 2:
                 raise ValueError("dynamic-level unpack (npw > 0) needs nbit=2")
             if self.row_len % self.npw:
                 raise ValueError("npw must divide row_len")
-        elif self.nbit == 2:
-            raise ValueError("2-bit fast path requires npw (JA98 dynamic)")
+            if self.twos_complement:
+                raise ValueError(
+                    "JA98 dynamic levels use offset-binary state codes")
         if self.nchan_in < 1:
             raise ValueError("nchan_in must be >= 1")
-        if self.twos_complement and self.nbit != 8:
-            raise ValueError("in-kernel two's complement is 8-bit only")
+        if self.twos_complement and self.nbit not in (2, 4, 8):
+            raise ValueError("in-kernel two's complement is 2/4/8-bit")
         if self.interleave not in ("tfp", "caspsr"):
             raise ValueError(f"unknown interleave: {self.interleave}")
         if self.interleave == "caspsr" and (
@@ -275,7 +276,9 @@ class MegaPlan:
         """Build from an ops.filterbank.FilterbankPlan; None if ineligible.
 
         ``ndat_per_weight``: pass the excision block length for 2-bit input
-        (enables the in-kernel JA98 path); must divide the row length.
+        with DYNAMIC levels (enables the in-kernel JA98 path; must divide
+        the row length); pass 0 for the fixed-level (BitTable) 2-bit map,
+        which is a pure affine in-kernel unpack like 1/4-bit.
         """
         nsub, freq_res = fb_plan.nchan_subband, fb_plan.freq_res
         r1 = cls.choose_r1(nsub * freq_res, freq_res)
@@ -297,7 +300,7 @@ class MegaPlan:
                    twos_complement=twos_complement, interleave=interleave)
         if plan.nkeep <= 0:
             return None
-        if nbit == 2 and (npw <= 0 or plan.row_len % npw):
+        if npw > 0 and plan.row_len % npw:
             return None  # weight blocks must tile the row -> XLA path
         plan.validate()
         return plan
@@ -452,9 +455,11 @@ def unpack_affine(nbit: int, twos_complement: bool = False) -> Tuple[float, floa
     """(scale, offset) such that value = code * scale + offset reproduces
     ``unpack.unpackers._uniform_levels``.
 
-    Offset binary: code is the unsigned byte/field value.  Two's complement
-    (8-bit only): code is the SIGNED int8 value — the level index is
-    v + 128, so the map stays affine with offset shifted by 128 steps."""
+    Offset binary: code is the unsigned byte/field value.  Two's complement:
+    code is the SIGNED field value (the kernel wraps sub-byte fields
+    ``v >= 2^(n-1)`` down by ``2^n``; 8-bit bytes arrive as int8 already) —
+    the ascending level index is ``v + 2^(n-1)``, so the map stays affine
+    with the offset shifted by half the code range."""
     from ..unpack.bittable import BitTable, CodeType
 
     if nbit == 32:
@@ -465,10 +470,10 @@ def unpack_affine(nbit: int, twos_complement: bool = False) -> Tuple[float, floa
     asc = np.sort(table.values.astype(np.float64))
     step = float((asc[-1] - asc[0]) / (n - 1)) if n > 1 else 2.0
     if twos_complement:
-        if nbit != 8:
+        if nbit not in (2, 4, 8):
             raise NotImplementedError(
-                "in-kernel two's complement is 8-bit only")
-        return step, float(asc[0]) + 128.0 * step
+                "two's-complement codes are 2/4/8-bit")
+        return step, float(asc[0]) + (n // 2) * step
     return step, float(asc[0])
 
 
@@ -566,7 +571,13 @@ def mega_reference(raw: np.ndarray, plan: MegaPlan, cst: MegaConstants,
             wgt[:, w] = w_chan[:, a:b].min(axis=1)
     else:
         codes = _decode_codes_np(np.asarray(raw), p, npart)
-        vals = codes.astype(np.float64) * cst.unpack_scale + cst.unpack_offset
+        vals = codes.astype(np.float64)
+        if p.twos_complement and p.nbit < 8:
+            # sub-byte two's-complement fields wrap to the signed value
+            # (8-bit codes are decoded as int8 already)
+            n = 1 << p.nbit
+            vals = np.where(vals >= n // 2, vals - n, vals)
+        vals = vals * cst.unpack_scale + cst.unpack_offset
         wgt = np.ones((p.nchan_in, npart))
     if ext_weights is not None:
         wgt = wgt * np.asarray(ext_weights, np.float64)
@@ -829,7 +840,12 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
                     # (two's complement IS the signed value: affine map)
                     v = v + jnp.where(v < 0, f32(256), f32(0))
                 return v * f32(scale) + f32(offset)
-            if p.nbit == 4:
+            if not has_lohi:
+                # 1/2/4-bit fixed-level (BitTable) unpack: affine on the
+                # field code; two's-complement fields wrap to signed first
+                if p.twos_complement:
+                    half = float(1 << (p.nbit - 1))
+                    v = v - jnp.where(v >= f32(half), f32(2 * half), f32(0))
                 return v * f32(scale) + f32(offset)
             # nbit == 2: JA98 dynamic levels.  The per-block lo/hi arrays
             # are tiny (T/npw values) and ride whole in VMEM (BlockSpec,
@@ -1187,7 +1203,12 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                     # unsigned byte (two's complement IS the signed value)
                     v = v + jnp.where(v < 0, f32(256), f32(0))
                 return v * f32(scale) + f32(offset)
-            if p.nbit == 4:
+            if not has_lohi:
+                # 1/2/4-bit fixed-level (BitTable) unpack: affine on the
+                # field code; two's-complement fields wrap to signed first
+                if p.twos_complement:
+                    half = float(1 << (p.nbit - 1))
+                    v = v - jnp.where(v >= f32(half), f32(2 * half), f32(0))
                 return v * f32(scale) + f32(offset)
             lo_rows = lohi_ref[0, pol, d, 0, pl.ds(w * p.step_rows, R1), :]
             hi_rows = lohi_ref[0, pol, d, 1, pl.ds(w * p.step_rows, R1), :]

@@ -933,3 +933,110 @@ def test_megafil_jones_reference_fold():
     pf = np.asarray(pf)
     assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / np.abs(pf).max() \
         < 2e-5
+
+
+# ---- round-4 generality: fixed-level sub-byte + two's-complement codes ----
+
+
+@pytest.mark.parametrize("nbit,twos", [
+    (1, False), (2, False), (2, True), (4, True)])
+def test_subbyte_fixed_reference_matches_xla_chain(nbit, twos):
+    """Fixed-level (BitTable) 1/2-bit and two's-complement 2/4-bit codes:
+    the f64 reference's affine in-kernel unpack equals the XLA chain's
+    ``unpack_fixed`` through the filterbank fold."""
+    rng = np.random.default_rng(40 + nbit + twos)
+    fb0 = FilterbankPlan(real_input=True, nchan_subband=NSUB,
+                         freq_res=FREQ_RES, nfilt_pos=5, nfilt_neg=6)
+    plan = MegaPlan.from_filterbank(fb0, nbin=NBIN, npol=NPOL, npol_out=1,
+                                    nbit=nbit, twos_complement=twos)
+    assert plan is not None and plan.npw == 0
+    fb = FilterbankPlan(real_input=True, nchan_subband=NSUB,
+                        freq_res=FREQ_RES, nfilt_pos=plan.nfilt_pos,
+                        nfilt_neg=plan.nfilt_neg)
+    ndat = fb.block_ndat(NPART)
+    raw = rng.integers(0, 256, size=ndat * NPOL * nbit // 8,
+                       dtype=np.uint8)
+    resp = np.exp(1j * rng.uniform(-3, 3, (NSUB, FREQ_RES)))
+    phi0 = rng.uniform(0, 1, NPART)
+    dphi = np.full(NPART, 0.013)
+    scale, offset = unpack_affine(nbit, twos)
+    cst = MegaConstants(plan, resp, dtype=np.float64,
+                        unpack_scale=scale, unpack_offset=offset)
+    pr, hr = mega_reference(raw, plan, cst, phi0, dphi, NPART)
+
+    x = unpack_fixed(jnp.asarray(raw), nbit, 1, NPOL, 1,
+                     twos_complement=twos)
+    rr = jnp.asarray(np.ascontiguousarray(resp.real), jnp.float32)
+    ri = jnp.asarray(np.ascontiguousarray(resp.imag), jnp.float32)
+    y = filterbank_block(x, fb, NPART, (rr, ri))
+    d = np.asarray(detect(y, Signal.INTENSITY))
+    fold_plan = FoldPlan(nbin=NBIN, seg_len=plan.nkeep)
+    pf, ht = fold_block(
+        jnp.zeros((NSUB, 1, NBIN), jnp.float32),
+        jnp.zeros((NSUB, NBIN), jnp.float32),
+        jnp.asarray(d),
+        jnp.ones((NSUB, NPART * plan.nkeep), jnp.float32),
+        jnp.asarray(phi0, jnp.float32), jnp.asarray(dphi, jnp.float32),
+        fold_plan)
+    pf, ht = np.asarray(pf), np.asarray(ht)
+    assert np.abs(pr[0].transpose(1, 0, 2) - pf).max() / \
+        np.abs(pf).max() < 2e-5
+    assert np.abs(hr[0] - ht[0]).max() == 0
+
+    # and the Pallas kernel (interpret) matches the reference
+    cst32 = MegaConstants(plan, resp, dtype=np.float32,
+                          unpack_scale=scale, unpack_offset=offset)
+    step = build_megastep(plan, cst32, NPART, interpret=True)
+    pk, hk = step(jnp.zeros((1, 1, NSUB, NBIN), jnp.float32),
+                  jnp.zeros((1, NBIN), jnp.float32),
+                  jnp.asarray(raw), jnp.asarray(phi0, jnp.float32),
+                  jnp.asarray(dphi, jnp.float32))
+    pk, hk = np.asarray(pk), np.asarray(hk)
+    assert np.abs(pr - pk).max() / np.abs(pr).max() < 2e-5
+    assert np.abs(hr - hk).max() == 0
+
+
+def test_pipeline_fixed_twobit_mega_vs_general(tmp_path, monkeypatch):
+    """A fixed-level (dynamic_twobit=False) 2-bit stream engages the fused
+    path (plan.npw == 0, no excision weights) and matches the general XLA
+    chain numerically (DM=0: identical geometry)."""
+    from dspsr_tpu.io.sources import RawFileSource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline
+    from dspsr_tpu.timing.mjd import MJD
+
+    rng = np.random.default_rng(51)
+    obs = Observation(
+        nchan=1, npol=2, ndim=2, nbit=2, centre_frequency=1400.0,
+        bandwidth=-1.0, rate=RATE, start_time=MJD.from_utc(
+            "2010-04-13-02:05:45"),
+        state=Signal.ANALYTIC, source="FAKE", telescope="PKS",
+        instrument="RAW")
+    nsamp = 1 << 16
+    raw = rng.integers(0, 256, size=nsamp, dtype=np.uint8)
+    path = str(tmp_path / "tbf.raw")
+    with open(path, "wb") as f:
+        f.write(raw.tobytes())
+    cfg = _config(dynamic_twobit=False, min_block_samples=8192,
+                  frequency_resolution=1024, dispersion_measure=0.0)
+    res = {}
+    for tag, off in (("mega", False), ("general", True)):
+        if off:
+            monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+        else:
+            monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+        pipe = FoldPipeline(RawFileSource(path, obs), cfg)
+        assert (pipe.mega_plan is not None) == (not off), tag
+        if pipe.mega_plan is not None:
+            assert pipe.mega_plan.npw == 0
+            assert pipe.unpack_plan.twobit is None
+        res[tag] = pipe.run()
+    a, b = res["mega"], res["general"]
+    # per-channel hit totals match exactly; per-bin counts may differ by
+    # O(1) f32 bin-boundary jitter (different phase-anchor segmenting)
+    np.testing.assert_allclose(a.hits.sum(axis=(0, 2)),
+                               b.hits.sum(axis=(0, 2)), rtol=0, atol=0)
+    pa, pb = a.normalized(), b.normalized()
+    assert np.abs(pa - pb).max() / np.abs(pb).max() < 0.05
+    corr = [np.corrcoef(pa[0, c, 0], pb[0, c, 0])[0, 1]
+            for c in range(pa.shape[1])]
+    assert min(corr) > 0.98, corr
