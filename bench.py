@@ -21,6 +21,8 @@ Beyond the headline, a CONFIGURATION MATRIX measures every execution path
                           (forced; the SK fallback floor)
 - ``hybrid_sk``           in-stream SK on the FUSED path (voltage front
                           end + XLA SK/fold tail in one program)
+- ``hybrid_rfi``          spectral RFI filter on the fused path (chirp x
+                          previous-block zap mask as a traced response)
 - ``hybrid_conv32``       nsub == 1 coherent dedispersion of a 32-channel
                           band on the fused path (no filterbank)
 - ``megafil_search``      the fused search-mode front end (digifil)
@@ -119,10 +121,15 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
     #  - "h2d": bytes ship through this environment's host->device path
     #    each block (a shared debug tunnel at ~0.1-1 GB/s, NOT a production
     #    data path; see PERF.md).
+    # the fused RFI filter threads a (gr, gi) response state through the
+    # step (chirp x previous-block zap mask); carried block to block here
+    rfi_state = list(pipe._rfi_resp) if getattr(pipe, "_rfi_resp", None) \
+        else None
+
     @jax.jit
-    def devgen_step(profiles, hits, start_byte, phi0, dphi):
+    def devgen_step(profiles, hits, start_byte, phi0, dphi, *resp):
         raw = device_noise_bytes(start_byte, nbytes)
-        return base_step(profiles, hits, raw, phi0, dphi)
+        return base_step(profiles, hits, raw, phi0, dphi, *resp)
 
     def anchors(iblock):
         t0 = pipe.output_start_time(iblock * stride)
@@ -131,11 +138,17 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
 
     def run_block(profiles, hits, b):
         phi0, dphi = anchors(b)
+        extra = tuple(rfi_state) if rfi_state is not None else ()
         if feed == "device":
-            return devgen_step(profiles, hits, jnp.uint32(b * nbytes),
-                               jnp.asarray(phi0), jnp.asarray(dphi))
-        return base_step(profiles, hits, jnp.asarray(raw_np),
-                         jnp.asarray(phi0), jnp.asarray(dphi))
+            res = devgen_step(profiles, hits, jnp.uint32(b * nbytes),
+                              jnp.asarray(phi0), jnp.asarray(dphi), *extra)
+        else:
+            res = base_step(profiles, hits, jnp.asarray(raw_np),
+                            jnp.asarray(phi0), jnp.asarray(dphi), *extra)
+        if rfi_state is not None:
+            rfi_state[:] = res[-2:]
+            res = res[:-2]
+        return res[0], res[1]
 
     t_c0 = time.perf_counter()
     profiles, hits = run_block(profiles, hits, 0)
@@ -163,7 +176,7 @@ def bench_fold(obs, cfg, reps, nblocks, feed="device", env=None):
         "nbin": pipe.nbin,
     }
     # side measurement for the headline: the tunnel-fed rate (2 blocks)
-    if feed == "device":
+    if feed == "device" and rfi_state is None:
         phi0, dphi = anchors(0)
         p2 = jnp.zeros_like(profiles)
         h2 = jnp.zeros_like(hits)
@@ -311,6 +324,14 @@ def main():
         # materializes framed windows, so flagship blocks fit in HBM
         safe("hybrid_sk", bench_fold, obs_real,
              dataclasses.replace(flagship, sk_enable=True, sk_m=1024),
+             max(reps - 2, 3), max(nblocks // 2, 2), feed)
+
+        # spectral RFI filter ON the fused path (round 4): the zap mask
+        # from each block's passband tap multiplies the chirp and rides
+        # into the next block as a traced response argument (reference
+        # RFIFilter x ResponseProduct); previously XLA-chain-only
+        safe("hybrid_rfi", bench_fold, obs_real,
+             dataclasses.replace(flagship, rfi_filter=True),
              max(reps - 2, 3), max(nblocks // 2, 2), feed)
 
         # 32 coarse channels, 8-bit complex dual-pol, convolved per channel

@@ -107,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "when psrsh is installed, else SCRIPT is executed "
                         "with the archive path (reference -J psrsh hook, "
                         "Archiver post-processing script)")
+    p.add_argument("-R", "--zap-rfi", action="store_true",
+                   help="apply the time-variable narrow-band RFI filter "
+                        "(reference -R -> RFIFilter x ResponseProduct; "
+                        "median-bandpass zap, fused-path capable)")
+    p.add_argument("--rfi-median", type=int, default=21, metavar="BINS",
+                   help="RFI filter: median window width across frequency")
+    p.add_argument("--rfi-threshold", type=float, default=4.0,
+                   help="RFI filter: zap bins above this multiple of the "
+                        "local median bandpass")
     p.add_argument("--detect", default=None,
                    choices=["intensity", "ppqq", "pp", "qq", "coherence",
                             "stokes", "nthpower"],
@@ -318,6 +327,9 @@ def main(argv=None) -> int:
         subint_turns=args.turns,
         report=args.report,
         block_parts=args.block_parts,
+        rfi_filter=args.zap_rfi,
+        rfi_median_width=args.rfi_median,
+        rfi_threshold=args.rfi_threshold,
         sk_enable=args.skz,
         sk_m=args.skzm,
         sk_std_devs=args.skzs,

@@ -616,6 +616,9 @@ class FoldPipeline:
         self.mega_plan = None
         self._megastep = None
         self.mega_mode = None
+        #: carried (gr, gi) response state for the fused RFI filter (the
+        #: chirp x previous-block zap mask, permuted kernel layout)
+        self._rfi_resp = None
         if self._mega_front_eligible():
             from ..ops.megakernel import MegaPlan
 
@@ -666,6 +669,16 @@ class FoldPipeline:
         # --- block geometry ---
         self._plan_blocks()
 
+        if (self.mega_plan is not None and cfg.rfi_filter
+                and self.source.total_samples
+                < self.block_in_samples + self.stride_in_samples):
+            # single-block run: the fused RFI filter applies each block's
+            # mask to the NEXT block, so it would never engage; the XLA
+            # chain zaps same-block (the reference computes the filter
+            # from the same interval it applies to, RFIFilter.C)
+            self.mega_plan = None
+            self.mega_mode = None
+
         if self.mega_plan is not None:
             from ..ops.megakernel import MegaConstants, build_megastep, unpack_affine
 
@@ -708,6 +721,11 @@ class FoldPipeline:
                     twobit=self.unpack_plan.twobit, window=win,
                     jones=self._jones_natural)
                 self._megastep = self._build_hybrid_step(front_plan, cstf)
+                if cfg.rfi_filter:
+                    # initial response = the bare chirp (mask of ones);
+                    # updated per block from the measured bandpass
+                    self._rfi_resp = (jnp.asarray(cstf.gr),
+                                      jnp.asarray(cstf.gi))
             else:
                 cst = MegaConstants(self.mega_plan, resp, dtype=dt,
                                     unpack_scale=scale, unpack_offset=offset,
@@ -817,14 +835,27 @@ class FoldPipeline:
         cheaper DETECTED output (measured ~2x less HBM traffic).  2-bit
         JA98 excision weights combine in at per-window granularity, exactly
         as in the fused fold (``window_weight_spans``).
+
+        With ``rfi_filter`` the response rides as a TRACED argument: each
+        block runs with the chirp times the zap mask computed from the
+        PREVIOUS block's integrated pre-response bandpass (the passband
+        tap), and returns the next mask-multiplied response pair — the
+        reference's interval-recomputed ``RFIFilter`` multiplied into the
+        convolution response via ``ResponseProduct``
+        (``Signal/General/RFIFilter.C``, ``LoadToFold1.C:137-174``).  The
+        general XLA chain instead zaps same-block from its own spectra;
+        both are time-adaptive median-bandpass excision, fused just applies
+        it one block late (the first block runs unfiltered).
         """
-        from ..ops.megakernel import build_megafil
+        from ..ops.megakernel import build_megafil, permute_response
 
         mp = self.mega_plan
         mode, _, _ = self._hybrid_front_mode()
+        rfi_fused = bool(self.config.rfi_filter)
         front = build_megafil(front_plan, cstf, self.npart,
                               return_weights=True, output=mode,
-                              passband=self.config.passband)
+                              passband=self.config.passband or rfi_fused,
+                              response_as_args=rfi_fused)
         nsub, nkeep, npart = mp.nsub, mp.nkeep, self.npart
         nchan_out = self.obs_in.nchan * nsub
         ndat_out = npart * nkeep
@@ -833,9 +864,52 @@ class FoldPipeline:
         npol_in = self.obs_in.npol
         front_np = front_plan.npol_out
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(profiles, hits, raw, phi0, dphi):
-            out = front(raw)
+        if rfi_fused:
+            from ..ops.rfifilter import median_filter_freq
+
+            nchan_in = self.obs_in.nchan
+            fr = front_plan.freq_res
+            width = self.config.rfi_median_width
+            thresh = self.config.rfi_threshold
+            # natural-order chirp split pair [nchan_in, n_fft] (ones when
+            # no dedispersion): the base the zap mask multiplies into
+            if self.kernel is not None:
+                _flat = np.asarray(self.kernel.phasors).reshape(
+                    nchan_in, front_plan.n_fft)
+            else:
+                _flat = np.ones((nchan_in, front_plan.n_fft), np.complex128)
+            base_r = jnp.asarray(_flat.real, jnp.float32)
+            base_i = jnp.asarray(_flat.imag, jnp.float32)
+
+            def next_response(pb):
+                """Zap mask from the integrated pre-response bandpass ->
+                the next block's permuted response pair.  Median-filtered
+                bandpass thresholding per (input channel, pol) across the
+                channel's full band (ops.rfifilter semantics); a bin is
+                zapped when ANY pol trips (the response slot is shared
+                across pols)."""
+                flat = jnp.transpose(
+                    pb.reshape(nchan_in, nsub, npol_in, fr),
+                    (0, 2, 1, 3)).reshape(nchan_in, npol_in, nsub * fr)
+                med = median_filter_freq(flat, width)
+                good = (flat <= thresh * jnp.maximum(med, 1e-30)
+                        ).astype(jnp.float32)
+                mask = jnp.min(good, axis=1)  # [nchan_in, n_fft]
+                return permute_response(base_r * mask, base_i * mask,
+                                        front_plan)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(profiles, hits, raw, phi0, dphi, gr, gi):
+                out = front(raw, gr, gi)
+                tail = _tail(profiles, hits, out, phi0, dphi)
+                gr2, gi2 = next_response(out[2])
+                return (*tail, gr2, gi2)
+        else:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(profiles, hits, raw, phi0, dphi):
+                return _tail(profiles, hits, front(raw), phi0, dphi)
+
+        def _tail(profiles, hits, out, phi0, dphi):
             data, wwin = out[0], out[1]
             pb = out[2] if want_pb else None
             # per-window excision weights broadcast over each window's
@@ -880,10 +954,10 @@ class FoldPipeline:
         codes, fixed (BitTable) or JA98 dynamic-level 2-bit — single- or
         multi-channel (e.g. GUPPI RAW / VDIF baseband), through the
         convolving filterbank OR the nsub == 1 overlap-save convolution
-        (scalar chirp or Jones matrix), with apodization.  Only the
-        in-stream spectral RFI filter (a per-window median zap applied in
-        the spectral domain, ops.rfifilter) forces the general XLA
-        chain."""
+        (scalar chirp or Jones matrix), with apodization, including the
+        spectral RFI filter as a per-block traced response (hybrid mode).
+        Only RFI-filter configs with no filterbank or with a Jones
+        response force the general XLA chain."""
         import os
 
         cfg = self.config
@@ -899,7 +973,13 @@ class FoldPipeline:
             # (unpack_affine: sub-byte fields wrap to signed in-kernel)
             and (not self.unpack_plan.twos_complement
                  or obs.nbit in (2, 4, 8))
-            and not cfg.rfi_filter
+            # the RFI filter rides the fused front end as a per-block
+            # response argument (chirp x zap mask) when there is a
+            # filterbank and a scalar response slot to multiply into;
+            # Jones or pure-convolution RFI configs stay on the XLA chain
+            and not (cfg.rfi_filter
+                     and (self.fb_plan is None
+                          or self._jones_natural is not None))
             and (det_np == 1 or obs.npol == 2)
             and (self.det_state not in (Signal.PP, Signal.QQ)
                  or obs.npol == 2)
@@ -916,6 +996,7 @@ class FoldPipeline:
             self.fb_plan is not None
             and self.sk_plan is None
             and self.cyclic_plan is None
+            and not cfg.rfi_filter
             and self.det_state != Signal.NTHPOWER
             and self._jones_natural is None
             and not cfg.dump_path
@@ -1380,10 +1461,15 @@ class FoldPipeline:
                     raw, phi0, dphi, t_out0 = batch[0]
                     fn = (self._megastep if self._megastep is not None
                           else self._step)
+                    extra_in = self._rfi_resp or ()
                     res = fn(
                         self._profiles, self._hits, jnp.asarray(raw),
-                        jnp.asarray(phi0), jnp.asarray(dphi))
+                        jnp.asarray(phi0), jnp.asarray(dphi), *extra_in)
                     res = list(res)
+                    if self._rfi_resp is not None:
+                        # carried response state: chirp x this block's mask
+                        self._rfi_resp = (res[-2], res[-1])
+                        res = res[:-2]
                     self._profiles, self._hits = res[0], res[1]
                     k = 2
                     if self.config.dump_path and len(res) > k:

@@ -495,6 +495,24 @@ def window_weight_spans(plan: MegaPlan, npart: int):
     return spans
 
 
+def permute_response(rr, ri, plan: MegaPlan):
+    """Natural-order per-input-channel response ``[nchan_in, n_fft]``
+    (split-complex pair, jnp) -> the kernel's permuted ``[nchan_in, R1,
+    R2]`` spectral layout — the traced-argument analogue of the host-side
+    chirp permutation in ``MegaConstants`` (flat bin ``k = k2*R1 + k1``;
+    complex input folds the fftshift in as a ``-N/2`` roll)."""
+    p = plan
+    N = p.n_fft
+
+    def perm(a):
+        a = a.reshape(p.nchan_in, N)
+        if not p.real_input:
+            a = jnp.roll(a, -(N // 2), axis=1)
+        return jnp.transpose(a.reshape(p.nchan_in, p.R2, p.R1), (0, 2, 1))
+
+    return perm(rr), perm(ri)
+
+
 def _decode_codes_np(raw: np.ndarray, plan: MegaPlan, npart: int) -> np.ndarray:
     """uint8 bytes -> integer codes [nchan, npol, ndim, T] (numpy)."""
     p = plan
@@ -1088,7 +1106,8 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                   interpret: Optional[bool] = None,
                   return_weights: bool = False,
                   output: str = "detected",
-                  passband: bool = False):
+                  passband: bool = False,
+                  response_as_args: bool = False):
     """Fused front end: unpack -> forward FFT -> response -> subband
     inversion [-> detect], one ``pallas_call`` per block, plus the (cheap,
     XLA) de-permutation back to time order.  Serves digifil's hot path AND
@@ -1123,6 +1142,12 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     ``wgt f32[nchan_in, npart]`` are appended (all ones when the plan has
     no JA98 path).  Return value order: ``data[, wgt][, pb]`` (a bare array
     or SC pair when nothing else is requested).
+
+    With ``response_as_args=True`` the per-channel response pair rides as
+    TRACED step arguments ``step(raw, gr, gi)`` instead of closure
+    constants — so a per-block response (e.g. the chirp times a
+    time-adaptive RFI zap mask, reference RFIFilter x ResponseProduct) can
+    reach the fused front end without recompilation.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1361,16 +1386,17 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         scratch_shapes=scratch_shapes,
     )
 
-    const_order = ("w1r", "w1i", "tr", "ti", "er", "ei", "gr", "gi")
-    const_vals = [consts[n] for n in const_order]
+    const_pre = [consts[n] for n in ("w1r", "w1i", "tr", "ti", "er", "ei")]
+    const_resp = [] if response_as_args else [consts["gr"], consts["gi"]]
+    const_post = []
     if has_jones:
-        const_vals += [jnp.asarray(cst.jxr), jnp.asarray(cst.jxi)]
-    const_vals += [consts[n] for n in
+        const_post += [jnp.asarray(cst.jxr), jnp.asarray(cst.jxi)]
+    const_post += [consts[n] for n in
                    ("mr", "mi", "ur", "ui", "vr", "vi", "sel")]
     if has_lohi:
-        const_vals.append(jnp.asarray(cst.expand))
+        const_post.append(jnp.asarray(cst.expand))
     if has_apod:
-        const_vals.append(jnp.asarray(cst.apod))
+        const_post.append(jnp.asarray(cst.apod))
 
     call = pl.pallas_call(
         kernel,
@@ -1416,8 +1442,7 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         return jnp.transpose(flat, (0, 2, 1, 3)).reshape(
             nchan * nsub, npol, p.freq_res)
 
-    @jax.jit
-    def step(raw):
+    def _run(raw, resp):
         """raw uint8/f32 flat TFP bytes -> data[, wgt][, pb]."""
         if raw.dtype == jnp.uint8 and p.nbit == 32:
             raw = jax.lax.bitcast_convert_type(
@@ -1426,7 +1451,9 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         args = [x]
         if has_lohi:
             args.append(lohi)
-        args += const_vals
+        args += const_pre
+        args += list(resp) if response_as_args else const_resp
+        args += const_post
         res = call(*args)
         if passband:
             P, pb = res
@@ -1443,5 +1470,16 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         if passband:
             out.append(_depermute_pb(pb))
         return tuple(out)
+
+    if response_as_args:
+        @jax.jit
+        def step(raw, gr, gi):
+            """gr/gi f32[nchan_in, R1, R2]: the per-channel response in the
+            kernel's permuted spectral layout (permute_response)."""
+            return _run(raw, (gr, gi))
+    else:
+        @jax.jit
+        def step(raw):
+            return _run(raw, None)
 
     return step

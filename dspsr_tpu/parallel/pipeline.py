@@ -94,6 +94,11 @@ class ShardedFoldPipeline:
             raise NotImplementedError(
                 "passband integration not supported sharded "
                 "(use FoldPipeline for --passband)")
+        if cfg.rfi_filter:
+            # the fused RFI filter threads per-block response state
+            # through the step, which the sharded driver does not carry;
+            # each shard runs the XLA chain's same-block zap instead
+            cfg = dataclasses.replace(cfg, use_megakernel=False)
         #: channel-sharded fused mode: when the fully-fused kernel is
         #: eligible and the chan axis divides the INPUT channels, each
         #: (time, chan) shard runs ONE compiled megastep on its own
