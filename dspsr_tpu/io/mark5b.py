@@ -1,0 +1,193 @@
+"""Mark5B format reader (VLBI disk-pack recordings).
+
+Equivalent of the reference ``Kernel/Formats/mark5b`` backend (which wraps
+the external mark5access library; `Kernel/Formats/mark5/` handles the
+older Mark5A).  A Mark5B stream is a sequence of fixed 10016-byte frames:
+a 16-byte header followed by 10000 bytes of VSI bit-stream payload.
+Header words (little-endian uint32):
+
+  w0: sync word 0xABADDEED
+  w1: frame#-within-second[15] | tvg[1] | user-specified[16]
+  w2: BCD time code 'JJJSSSSS' (3-digit truncated MJD, 5-digit
+      second-of-day)
+  w3: BCD fractional second '.SSSS' [31:16] | CRC-16 [15:0]
+
+The payload carries no geometry; like VDIF, the sample layout (NCHAN,
+NBIT, NDIM) and the sky metadata (FREQ/BW/TELESCOPE/SOURCE) come from a
+sidecar DADA header ``<file>.hdr`` — defaults are the most common VLBI
+mode: 2-bit real single-channel.  Sample codes are treated as
+offset-binary TFP-packed fields (the same convention the VDIF backend
+uses); fixed-level 2-bit unpacking rides the fused fast path
+(ops.megakernel, fixed BitTable levels).
+
+The 3-digit truncated MJD is resolved against the sidecar ``MJD_REF``
+(default 58000, ~2017): the candidate ``jjj + 1000*k`` closest to the
+reference wins — the same convention mark5access applies.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ..observation import Observation, Signal
+from ..timing.mjd import MJD
+from .sources import Source, register_format
+
+MARK5B_SYNC = 0xABADDEED
+FRAME_BYTES = 10016
+HEADER_BYTES = 16
+PAYLOAD_BYTES = FRAME_BYTES - HEADER_BYTES
+
+
+def _bcd(value: int, digits: int) -> int:
+    """Decode a packed-BCD field of the given digit count."""
+    out = 0
+    scale = 1
+    for _ in range(digits):
+        out += (value & 0xF) * scale
+        value >>= 4
+        scale *= 10
+    return out
+
+
+def parse_mark5b_header(buf: bytes) -> dict:
+    w0, w1, w2, w3 = struct.unpack("<4I", buf[:16])
+    return {
+        "sync": w0,
+        "frame": w1 & 0x7FFF,
+        "tvg": (w1 >> 15) & 1,
+        "user": (w1 >> 16) & 0xFFFF,
+        "jjj": _bcd(w2 >> 20, 3),        # truncated MJD
+        "sec": _bcd(w2 & 0xFFFFF, 5),    # second of day
+        "frac": _bcd(w3 >> 16, 4),       # fractional second, 0.1 ms units
+        "crc": w3 & 0xFFFF,
+    }
+
+
+@register_format
+class Mark5BFile(Source):
+    """Mark5B file reader (reference ``Kernel/Formats/mark5b/``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            hdr = parse_mark5b_header(f.read(HEADER_BYTES))
+        if hdr["sync"] != MARK5B_SYNC:
+            raise ValueError("not a Mark5B stream (bad sync word)")
+        self._hdr0 = hdr
+        size = os.path.getsize(path)
+        self.nframes = size // FRAME_BYTES
+
+        # geometry defaults (overridable by the sidecar header)
+        nchan, npol, ndim, nbit = 1, 1, 1, 2
+        kv = self._sidecar()
+        nchan = int(kv.get("NCHAN", nchan))
+        npol = int(kv.get("NPOL", npol))
+        ndim = int(kv.get("NDIM", ndim))
+        nbit = int(kv.get("NBIT", nbit))
+        mjd_ref = int(float(kv.get("MJD_REF", 58000)))
+
+        bits = nchan * npol * ndim * nbit
+        if PAYLOAD_BYTES * 8 % bits:
+            raise ValueError(
+                f"frame payload not a whole number of samples ({bits} "
+                "bits/sample)")
+        self.samples_per_frame = PAYLOAD_BYTES * 8 // bits
+
+        frames_per_sec = self._count_frames_per_second()
+        rate = frames_per_sec * self.samples_per_frame
+
+        # resolve the 3-digit truncated MJD against the reference epoch
+        jjj = hdr["jjj"]
+        k = round((mjd_ref - jjj) / 1000.0)
+        mjd = jjj + 1000 * k
+        start = MJD(mjd, float(hdr["sec"]) + hdr["frac"] * 1e-4) + (
+            hdr["frame"] / frames_per_sec if frames_per_sec else 0.0)
+
+        self.obs = Observation(
+            nchan=nchan, npol=npol, ndim=ndim, nbit=nbit,
+            rate=float(rate),
+            centre_frequency=float(kv.get("FREQ", 0.0)),
+            bandwidth=float(kv.get("BW", (rate / 2e6 if ndim == 1
+                                          else rate / 1e6))),
+            start_time=start,
+            state=Signal.ANALYTIC if ndim == 2 else Signal.NYQUIST,
+            source=kv.get("SOURCE", ""),
+            telescope=kv.get("TELESCOPE", ""),
+            format="mark5b",
+            instrument="MARK5B",
+            ndat=self.nframes * self.samples_per_frame,
+        )
+
+    def _sidecar(self) -> dict:
+        side = self.path + ".hdr"
+        if os.path.exists(side):
+            from .dada import parse_ascii_header
+
+            with open(side) as f:
+                return parse_ascii_header(f.read())
+        return {}
+
+    def _count_frames_per_second(self) -> int:
+        """Frames/second from the frame counter (constant-rate stream)."""
+        sec0 = self._hdr0["sec"]
+        best = self._hdr0["frame"]
+        with open(self.path, "rb") as f:
+            for i in range(min(self.nframes, 1 << 18)):
+                f.seek(i * FRAME_BYTES)
+                buf = f.read(HEADER_BYTES)
+                if len(buf) < HEADER_BYTES:
+                    break
+                h = parse_mark5b_header(buf)
+                if h["sec"] != sec0:
+                    return best + 1
+                best = max(best, h["frame"])
+        return best + 1
+
+    @staticmethod
+    def is_valid(path: str) -> bool:
+        try:
+            with open(path, "rb") as f:
+                buf = f.read(HEADER_BYTES)
+                if len(buf) < HEADER_BYTES:
+                    return False
+                if parse_mark5b_header(buf)["sync"] != MARK5B_SYNC:
+                    return False
+                # the next frame must lead with the sync word too
+                f.seek(FRAME_BYTES)
+                buf2 = f.read(4)
+            if len(buf2) == 4:
+                return struct.unpack("<I", buf2)[0] == MARK5B_SYNC
+            return True
+        except OSError:
+            return False
+
+    @property
+    def total_samples(self) -> int:
+        return self.obs.ndat
+
+    def read_samples(self, start: int, nsamp: int) -> np.ndarray:
+        """De-framed TFP bytes for samples [start, start+nsamp)."""
+        o = self.obs
+        bps_bits = o.nchan * o.npol * o.ndim * o.nbit
+        spf = self.samples_per_frame
+        out = np.zeros(nsamp * bps_bits // 8, np.uint8)
+        filled = 0
+        with open(self.path, "rb") as f:
+            while filled < nsamp:
+                pos = start + filled
+                if pos >= self.total_samples:
+                    break
+                iframe = pos // spf
+                within = pos % spf
+                take = min(nsamp - filled, spf - within)
+                f.seek(iframe * FRAME_BYTES + HEADER_BYTES
+                       + within * bps_bits // 8)
+                buf = f.read(take * bps_bits // 8)
+                off = filled * bps_bits // 8
+                out[off: off + len(buf)] = np.frombuffer(buf, np.uint8)
+                filled += take
+        return out

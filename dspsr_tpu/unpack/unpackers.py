@@ -242,6 +242,9 @@ INSTRUMENT_UNPACK = {
     # interleaved ([p0 t0..t3][p1 t0..t3] ...) — the reference benchmark's
     # own instrument (CASPSRSingleUnpacker.C:103-151, Benchmark/header.dada)
     "CASPSR": dict(layout="caspsr", twos_complement=True),
+    # Mark5B: fixed-level (BitTable) 2-bit — no JA98 dynamic correction or
+    # excision (the reference decodes via mark5access static level tables)
+    "MARK5B": dict(dynamic_twobit=False),
 }
 
 
@@ -277,6 +280,8 @@ class UnpackPlan:
             self.layout = opts.get("layout", self.layout)
             self.twos_complement = opts.get("twos_complement",
                                             self.twos_complement)
+            self.dynamic_twobit = opts.get("dynamic_twobit",
+                                           self.dynamic_twobit)
         nbit = self.obs.nbit
         if nbit not in (1, 2, 4, 8, 32):
             raise ValueError(f"unsupported NBIT={nbit}")

@@ -368,3 +368,87 @@ class TestVDIFMultiThread:
         res = pipe.run()
         assert np.isfinite(np.asarray(res.profiles)).all()
         assert np.asarray(res.hits).sum() > 0
+
+
+# ---- Mark5B (round 4) ----
+
+
+def _bcd_enc(value, digits):
+    out = 0
+    for d in range(digits):
+        out |= (value % 10) << (4 * d)
+        value //= 10
+    return out
+
+
+def make_mark5b(path, nframes=16, frames_per_sec=4, mjd=58100, sec=4321,
+                seed=0):
+    """Synthetic Mark5B stream; returns the payload bytes."""
+    from dspsr_tpu.io.mark5b import FRAME_BYTES, HEADER_BYTES, MARK5B_SYNC
+
+    rng = np.random.default_rng(seed)
+    payload = FRAME_BYTES - HEADER_BYTES
+    data = rng.integers(0, 256, nframes * payload).astype(np.uint8)
+    with open(path, "wb") as f:
+        for i in range(nframes):
+            s = sec + i // frames_per_sec
+            frm = i % frames_per_sec
+            w0 = MARK5B_SYNC
+            w1 = frm & 0x7FFF
+            w2 = (_bcd_enc(mjd % 1000, 3) << 20) | _bcd_enc(s, 5)
+            w3 = _bcd_enc(0, 4) << 16
+            f.write(struct.pack("<4I", w0, w1, w2, w3))
+            f.write(data[i * payload : (i + 1) * payload].tobytes())
+    return data
+
+
+class TestMark5B:
+    def test_probe_geometry_time(self, tmp_path):
+        from dspsr_tpu.io.mark5b import Mark5BFile
+
+        p = str(tmp_path / "t.m5b")
+        make_mark5b(p)
+        src = open_source(p)
+        assert isinstance(src, Mark5BFile)
+        o = src.obs
+        # default mode: 2-bit real single-channel single-pol
+        assert o.nbit == 2 and o.nchan == 1 and o.ndim == 1
+        # 10000 B payload * 4 samples/B = 40000 samples/frame; 4 frames/s
+        assert src.samples_per_frame == 40000
+        assert o.rate == 160000.0
+        # truncated MJD 100 resolves near the default 58000 reference
+        assert o.start_time.days == 58100
+        assert abs(o.start_time.secs - 4321.0) < 1e-6
+
+    def test_read_crosses_frames(self, tmp_path):
+        p = str(tmp_path / "t2.m5b")
+        data = make_mark5b(p)
+        src = open_source(p)
+        # 4 samples/byte: samples [39996, 40020) span the frame boundary
+        b = src.read_samples(39996, 24)
+        np.testing.assert_array_equal(b[:1], data[9999:10000])
+        np.testing.assert_array_equal(b[1:], data[10000:10005])
+
+    def test_sidecar_and_fold(self, tmp_path):
+        """Sidecar geometry applies, and the 2-bit stream folds through
+        the pipeline on the FIXED-LEVEL fused path (MARK5B instrument
+        default: no JA98 dynamic correction)."""
+        from dspsr_tpu.models.load_to_fold import FoldPipeline, FoldConfig
+
+        p = str(tmp_path / "t3.m5b")
+        make_mark5b(p, nframes=32)
+        with open(p + ".hdr", "w") as f:
+            f.write("NPOL 2\nNDIM 2\nFREQ 1400.0\nBW -0.02\n"
+                    "SOURCE J0000+0000\nTELESCOPE PKS\n")
+        src = open_source(p)
+        assert src.obs.npol == 2 and src.obs.ndim == 2
+        assert src.samples_per_frame == 10000
+        cfg = FoldConfig(folding_period=0.005, dispersion_measure=0.0,
+                         nchan=4, nbin=16, block_parts=2,
+                         min_block_samples=8192, digitizer_stats=False,
+                         frequency_resolution=1024)
+        pipe = FoldPipeline(src, cfg)
+        assert pipe.unpack_plan.twobit is None  # fixed-level (mark5access)
+        assert pipe.mega_plan is not None and pipe.mega_plan.npw == 0
+        res = pipe.run()
+        assert np.asarray(res.hits).sum() > 0
