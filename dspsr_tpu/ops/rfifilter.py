@@ -28,16 +28,27 @@ def median_filter_freq(bandpass: jnp.ndarray, width: int) -> jnp.ndarray:
     """Running median over the last (frequency) axis, edge-replicated.
 
     bandpass: float32[..., nfreq]; width must be odd.
+
+    The window values are sorted with an odd-even transposition network of
+    elementwise min/max over the ``width`` shifted views — the whole
+    network fuses into ONE elementwise pass over the band, where a
+    ``jnp.sort`` over a stacked minor axis of ``width`` would tile-pad to
+    128 lanes and run a padded bitonic sort (measured ~100x slower inside
+    large fused programs on TPU).
     """
     half = width // 2
     pad = [(0, 0)] * (bandpass.ndim - 1) + [(half, half)]
     padded = jnp.pad(bandpass, pad, mode="edge")
-    wins = [
+    w = [
         jax.lax.slice_in_dim(padded, i, i + bandpass.shape[-1], axis=-1)
         for i in range(width)
     ]
-    stack = jnp.stack(wins, axis=-1)
-    return jnp.sort(stack, axis=-1)[..., half]
+    for r in range(width):
+        for i in range(r % 2, width - 1, 2):
+            lo = jnp.minimum(w[i], w[i + 1])
+            hi = jnp.maximum(w[i], w[i + 1])
+            w[i], w[i + 1] = lo, hi
+    return w[half]
 
 
 @partial(jax.jit, static_argnames=("width",))
