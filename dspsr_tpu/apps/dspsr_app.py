@@ -303,6 +303,11 @@ def main(argv=None) -> int:
                 excision_kw["ndat_per_weight"] = int(tok[1:])
             elif tok[0] in "cC":
                 excision_kw["cutoff_sigma"] = float(tok[1:])
+            elif tok in ("fixed", "static"):
+                # plain BitTable levels, no JA98 dynamic correction or
+                # excision (the reference selects this per format; here a
+                # -2 token overrides the instrument default)
+                excision_kw["dynamic_twobit"] = False
             else:
                 print(f"dspsr-tpu: unknown -2 token {tok!r}", file=sys.stderr)
                 return 1

@@ -303,6 +303,16 @@ class TestDspsrCliTail:
                    "--skz_end", "3"])
         assert rc == 0
 
+    def test_excision_fixed_token(self):
+        """-2 fixed selects plain BitTable 2-bit levels (no JA98)."""
+        from dspsr_tpu.apps.dspsr_app import build_parser
+
+        args = build_parser().parse_args(["x", "-2", "fixed"])
+        assert args.excision == "fixed"
+        # the token maps into FoldConfig.dynamic_twobit=False (parser-level
+        # check; the pipeline behaviour is covered by
+        # test_megakernel.test_pipeline_fixed_twobit_mega_vs_general)
+
     def test_cepoch_moves_the_peak(self, tmp_path):
         """--cepoch shifts phase zero: folding the same pulse train with a
         reference epoch offset by half a period rotates the profile by
