@@ -123,6 +123,14 @@ def test_parity_spectral_kurtosis(tmp_path):
             n_time=4, n_chan=1)
 
 
+def test_parity_rfi_filter(tmp_path):
+    """rfi_filter under sharding runs the XLA chain's same-block zap per
+    shard (the fused filter's per-block response state is not threaded by
+    the sharded driver) and matches the single XLA run."""
+    res_n, _ = _parity(tmp_path, _obs(), _cfg(rfi_filter=True),
+                       n_time=4, n_chan=1)
+
+
 def test_parity_jones_calibration(tmp_path):
     """Matrix (Jones) convolution sharded over time."""
     rng = np.random.default_rng(2)
