@@ -23,6 +23,8 @@ Beyond the headline, a CONFIGURATION MATRIX measures every execution path
                           end + XLA SK/fold tail in one program)
 - ``hybrid_rfi``          spectral RFI filter on the fused path (chirp x
                           previous-block zap mask as a traced response)
+- ``hybrid_cyclic``       cyclic spectroscopy through the VOLTAGE hybrid
+                          front end (lag-product fold tail)
 - ``hybrid_conv32``       nsub == 1 coherent dedispersion of a 32-channel
                           band on the fused path (no filterbank)
 - ``megafil_search``      the fused search-mode front end (digifil)
@@ -332,6 +334,15 @@ def main():
         # RFIFilter x ResponseProduct); previously XLA-chain-only
         safe("hybrid_rfi", bench_fold, obs_real,
              dataclasses.replace(flagship, rfi_filter=True),
+             max(reps - 2, 3), max(nblocks // 2, 2), feed)
+
+        # cyclic spectroscopy (CyclicFold) through the VOLTAGE hybrid
+        # front end: undetected split-complex baseband + XLA lag-product
+        # fold tail; half-size blocks (the voltage planes double the HBM
+        # footprint of the detected front)
+        safe("hybrid_cyclic", bench_fold, obs_real,
+             dataclasses.replace(flagship, cyclic_nchan=64,
+                                 min_block_samples=min_block // 2),
              max(reps - 2, 3), max(nblocks // 2, 2), feed)
 
         # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
