@@ -108,3 +108,24 @@ def test_rfi_tone_suppressed(tmp_path, engine, monkeypatch):
     assert mon[tone_chan] < 0.35 * moff[tone_chan]
     # other channels unaffected
     np.testing.assert_allclose(mon[others], moff[others], rtol=0.05)
+
+
+def test_rfi_plus_sk_combined(tmp_path):
+    """RFI filter AND in-stream SK compose in ONE hybrid program: the
+    tone channel ends near the noise floor (response mask + SK weights),
+    while the unfiltered run shows the tone plainly."""
+    tone_frac = 0.44
+    path = _write(tmp_path, 1 << 17, tone_frac=tone_frac, tone_amp=60.0)
+    pipe, on = _run(path, _config(rfi_filter=True, sk_enable=True, sk_m=64,
+                                  sk_no_fscr=True))
+    assert pipe.mega_mode == "hybrid"
+    assert pipe._rfi_resp is not None and pipe.sk_plan is not None
+    _, off = _run(path, _config())  # no filtering at all
+    mon = on.normalized().mean(axis=(0, 2, 3))
+    moff = off.normalized().mean(axis=(0, 2, 3))
+    tone_chan = int(tone_frac * 8)
+    others = [c for c in range(8) if c != tone_chan]
+    assert moff[tone_chan] > 3.0 * np.median(moff[others])
+    # combined filtering leaves the tone channel at/below the noise level
+    # (SK may zap the whole channel -> 0 is acceptable)
+    assert mon[tone_chan] < 1.5 * np.median(moff[others])
