@@ -399,3 +399,47 @@ class TestMultichanMegafil:
         assert d_mega.shape == d_ref.shape
         rel = np.abs(d_mega - d_ref).max() / np.abs(d_ref).max()
         assert rel < 2e-4, rel
+
+
+class TestMegafilFixedTwobit:
+    def test_fixed_twobit_megafil_matches_xla(self, tmp_path, monkeypatch):
+        """Fixed-level 2-bit input engages the search-mode fused front end
+        (round 4) and matches the forced XLA chain output bytes."""
+        from dspsr_tpu.io.sources import RawFileSource
+        from dspsr_tpu.models.load_to_fil import FilPipeline
+        from dspsr_tpu.timing.mjd import MJD
+        from dspsr_tpu.io.sigproc import read_sigproc_header
+
+        rng = np.random.default_rng(17)
+        nsamp = 1 << 16
+        raw = rng.integers(0, 256, size=nsamp, dtype=np.uint8)
+        p = str(tmp_path / "f2.raw")
+        with open(p, "wb") as f:
+            f.write(raw.tobytes())
+        obs = Observation(
+            nchan=1, npol=2, ndim=2, nbit=2, centre_frequency=1400.0,
+            bandwidth=-1.0, rate=1e6,
+            start_time=MJD.from_utc("2010-04-13-02:05:45"),
+            state=Signal.ANALYTIC, source="FAKE", telescope="PKS",
+            instrument="RAW")
+        outs = {}
+        for tag, off in (("mega", False), ("general", True)):
+            if off:
+                monkeypatch.setenv("DSPSR_TPU_NO_MEGA", "1")
+            else:
+                monkeypatch.delenv("DSPSR_TPU_NO_MEGA", raising=False)
+            out = str(tmp_path / f"{tag}.fil")
+            cfg = FilConfig(nchan=32, dispersion_measure=0.0,
+                            dynamic_twobit=False, nbits=8, block_parts=2,
+                            min_block_samples=8192,
+                            frequency_resolution=1024)
+            pipe = FilPipeline(RawFileSource(p, obs), cfg)
+            assert (pipe._megafil is not None) == (not off), tag
+            pipe.run(out)
+            _, hdr = read_sigproc_header(out)
+            outs[tag] = np.fromfile(out, np.uint8, offset=hdr)
+        assert outs["mega"].size == outs["general"].size > 0
+        # requantized bytes match up to 1 LSB of rescale rounding
+        diff = np.abs(outs["mega"].astype(int) - outs["general"].astype(int))
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.99
