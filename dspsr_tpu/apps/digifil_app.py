@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-K", "--interchannel-align", action="store_true",
                    help="remove inter-channel dispersion delays "
                         "(SampleDelay)")
+    p.add_argument("--fixed-twobit", action="store_true",
+                   help="2-bit input: plain BitTable levels, no JA98 "
+                        "dynamic correction/excision (overrides the "
+                        "instrument default; e.g. Mark5B is fixed already)")
     p.add_argument("--no-weights", action="store_true",
                    help="do not zero excision-flagged stretches")
     p.add_argument("--fits", action="store_true",
@@ -80,6 +84,7 @@ def main(argv=None) -> int:
         poln_select=args.poln_select,
         interchannel_align=args.interchannel_align,
         apply_weights=not args.no_weights,
+        dynamic_twobit=not args.fixed_twobit,
         block_parts=args.block_parts,
         **({"min_block_samples": args.block_samples}
            if args.block_samples is not None else {}),
