@@ -29,17 +29,31 @@ Beyond the headline, a CONFIGURATION MATRIX measures every execution path
                           band on the fused path (no filterbank)
 - ``megafil_search``      the fused search-mode front end (digifil)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
-"matrix": {tag: {...}}} where value is the MEDIAN over
-DSPSR_TPU_BENCH_REPS repetitions of Msamples/s/chip of raw input consumed,
-and vs_baseline is the real-time ratio (throughput / 800 Msamp/s, the
-CASPSR sampling rate) — the reference's own figure of merit (wall time vs
-real time, ``fold.csh:33-36``).  Every matrix entry carries per-rep
-times (run-to-run spread through the shared tunnel is real; see PERF.md).
+Output protocol (round-5 hardening; round 4's driver run timed out with
+ZERO output because the old script printed one line only at the very end):
+the headline JSON line is printed and flushed IMMEDIATELY after the
+headline measurement, then after EVERY matrix entry an updated,
+self-contained line (same schema, matrix grown by one) is printed.  Each
+line parses on its own, so a wall-clock kill at any point still leaves
+the best-so-far result as the last complete line — matching the
+reference's per-trial printing (``Benchmark/bench.csh``).  A wall-clock
+budget (DSPSR_TPU_BENCH_BUDGET_S, default 1200 s) gates each matrix
+entry: entries are measured in priority order and the rest are recorded
+as {"skipped": "budget"}.
 
-Env knobs: DSPSR_TPU_BENCH_REPS (5), DSPSR_TPU_BENCH_NBLOCKS (6),
+Schema: {"metric", "value", "unit", "vs_baseline", ..., "matrix":
+{tag: {...}}} where value is the MEDIAN over DSPSR_TPU_BENCH_REPS
+repetitions of Msamples/s/chip of raw input consumed, and vs_baseline is
+the real-time ratio (throughput / 800 Msamp/s, the CASPSR sampling rate)
+— the reference's own figure of merit (wall time vs real time,
+``fold.csh:33-36``).  Every matrix entry carries per-rep times
+(run-to-run spread through the shared tunnel is real; see PERF.md).
+
+Env knobs: DSPSR_TPU_BENCH_REPS (5; matrix entries always use 3),
+DSPSR_TPU_BENCH_NBLOCKS (6; matrix entries always use 2),
 DSPSR_TPU_BENCH_BLOCK (1<<25), DSPSR_TPU_BENCH_FEED (device|h2d),
-DSPSR_TPU_BENCH_MATRIX (1; 0 = headline only).
+DSPSR_TPU_BENCH_MATRIX (1; 0 = headline only),
+DSPSR_TPU_BENCH_BUDGET_S (1200).
 """
 
 import dataclasses
@@ -240,6 +254,7 @@ def bench_megafil(obs, cfg, reps, nblocks):
 
 
 def main():
+    t_start = time.monotonic()
     from dspsr_tpu.utils.platform import enable_compilation_cache
     cache_dir = enable_compilation_cache()
 
@@ -254,6 +269,11 @@ def main():
     nblocks = int(os.environ.get("DSPSR_TPU_BENCH_NBLOCKS", 6))
     feed = os.environ.get("DSPSR_TPU_BENCH_FEED", "device")
     do_matrix = os.environ.get("DSPSR_TPU_BENCH_MATRIX", "1") != "0"
+    budget_s = float(os.environ.get("DSPSR_TPU_BENCH_BUDGET_S", 1200))
+    # cold compiles for a NEW geometry can take minutes; only start an
+    # entry when at least this much budget remains (warm-cache entries
+    # finish in well under this)
+    entry_margin_s = float(os.environ.get("DSPSR_TPU_BENCH_MARGIN_S", 150))
 
     flagship = FoldConfig(
         polyco_path="/root/reference/Benchmark/polyco.dat",
@@ -270,100 +290,6 @@ def main():
     head = bench_fold(obs_real, flagship, reps, nblocks, feed=feed)
 
     matrix = {"mega_real_8bit": head}
-    if do_matrix:
-        def safe(tag, fn, *a, **kw):
-            try:
-                matrix[tag] = fn(*a, **kw)
-            except Exception as e:  # record, don't abort the bench
-                matrix[tag] = {"error": f"{type(e).__name__}: {e}"}
-
-        # complex (analytic) baseband, same band: 400 Msamp/s complex
-        obs_cplx = _make_obs(ndim=2, rate=400e6)
-        safe("mega_analytic_8bit", bench_fold, obs_cplx,
-             dataclasses.replace(flagship, min_block_samples=min_block // 2),
-             max(reps - 2, 3), nblocks, feed)
-
-        # GUPPI-like: 32 coarse channels, 2-bit complex dual-pol, in-kernel
-        # JA98 unpack + excision weights (per-chan 64 subbands -> 2048 out)
-        obs_g = _make_obs(nchan=32, ndim=2, nbit=2, rate=12.5e6, bw=-400.0)
-        # freq_res 2048 -> per-chan n_fft 131072, R1 512, row_len 256;
-        # npw=256 divides it (the JA98 fused-path requirement); 16 windows
-        # per block amortize the ~35 ms dispatch (PERF.md cost model)
-        cfg_g = dataclasses.replace(
-            flagship, nchan=2048, dispersion_measure=71.0,
-            frequency_resolution=2048, ndat_per_weight=256, block_parts=16,
-            min_block_samples=0, nbin=1024)
-        safe("mega_guppi_2bit", bench_fold, obs_g, cfg_g,
-             max(reps - 2, 3), max(nblocks // 2, 2), feed)
-
-        # bf16 stage constants (VERDICT r2 #9: measure on the real chip)
-        safe("mega_bf16", bench_fold, obs_real, flagship,
-             max(reps - 2, 3), nblocks, feed,
-             env={"DSPSR_TPU_MEGA_DTYPE": "bf16"})
-
-        # the general XLA op chain — the fallback every ineligible config
-        # runs (VERDICT r2 weak #1).  Smaller blocks: the XLA chain
-        # materializes framed f32 windows + spectra, so flagship-size
-        # blocks exceed HBM (the megakernel never materializes them)
-        safe("xla_general", bench_fold, obs_real,
-             dataclasses.replace(flagship,
-                                 min_block_samples=min(min_block, 1 << 23)),
-             max(reps - 2, 3), max(nblocks // 2, 2), feed,
-             env={"DSPSR_TPU_NO_MEGA": "1"})
-
-        # XLA chain + spectral kurtosis excision (weights threading)
-        safe("xla_sk_weights", bench_fold, obs_real,
-             dataclasses.replace(flagship, sk_enable=True, sk_m=1024,
-                                 min_block_samples=min_block // 4),
-             max(reps - 2, 3), max(nblocks // 2, 2), feed,
-             env={"DSPSR_TPU_NO_MEGA": "1"})
-
-        # HYBRID fused paths (megafil voltage front end + XLA tail in one
-        # jit program): in-stream SK on the flagship geometry, and the
-        # nsub == 1 pure coherent dedispersion of an already-channelized
-        # (GUPPI RAW-style) band — both previously XLA-chain-only
-        # full-size blocks: unlike the XLA chain the hybrid never
-        # materializes framed windows, so flagship blocks fit in HBM
-        safe("hybrid_sk", bench_fold, obs_real,
-             dataclasses.replace(flagship, sk_enable=True, sk_m=1024),
-             max(reps - 2, 3), max(nblocks // 2, 2), feed)
-
-        # spectral RFI filter ON the fused path (round 4): the zap mask
-        # from each block's passband tap multiplies the chirp and rides
-        # into the next block as a traced response argument (reference
-        # RFIFilter x ResponseProduct); previously XLA-chain-only
-        safe("hybrid_rfi", bench_fold, obs_real,
-             dataclasses.replace(flagship, rfi_filter=True),
-             max(reps - 2, 3), max(nblocks // 2, 2), feed)
-
-        # cyclic spectroscopy (CyclicFold) through the VOLTAGE hybrid
-        # front end: undetected split-complex baseband + XLA lag-product
-        # fold tail; half-size blocks (the voltage planes double the HBM
-        # footprint of the detected front)
-        safe("hybrid_cyclic", bench_fold, obs_real,
-             dataclasses.replace(flagship, cyclic_nchan=64,
-                                 min_block_samples=min_block // 2),
-             max(reps - 2, 3), max(nblocks // 2, 2), feed)
-
-        # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
-        # at its own chirp with NO further channelization (dspsr without -F
-        # on a channelized instrument band).  n_fft 512k keeps the overlap
-        # under ~15% of the window (DM 71 smears ~57k samples/channel) and
-        # 4 windows/block amortize the per-dispatch cost (PERF.md)
-        obs_c32 = _make_obs(nchan=32, ndim=2, rate=12.5e6, bw=-400.0)
-        cfg_c32 = dataclasses.replace(
-            flagship, nchan=32, dispersion_measure=71.0,
-            frequency_resolution=1 << 19, block_parts=4,
-            min_block_samples=0)
-        safe("hybrid_conv32", bench_fold, obs_c32, cfg_c32,
-             max(reps - 2, 3), max(nblocks // 2, 2), feed)
-
-        # fused search-mode front end (digifil)
-        fil_cfg = FilConfig(nchan=64, dispersion_measure=2.64, nbits=8,
-                            min_block_samples=min_block, block_parts=8)
-        safe("megafil_search", bench_megafil, obs_real, fil_cfg,
-             max(reps - 2, 3), nblocks)
-
     msps = head["msps"]
     out = {
         "metric": "fold_pipeline_throughput",
@@ -382,7 +308,121 @@ def main():
     }
     if "h2d_fed_msps" in head:
         out["h2d_fed_msps"] = head["h2d_fed_msps"]
-    print(json.dumps(out))
+
+    def emit():
+        out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(out))
+        sys.stdout.flush()
+
+    # the headline ships NOW: a wall-clock kill later in the matrix still
+    # leaves this (or a later, more complete) line as the parseable result
+    emit()
+
+    if do_matrix:
+        mreps, mblocks = 3, 2
+
+        # complex (analytic) baseband, same band: 400 Msamp/s complex
+        obs_cplx = _make_obs(ndim=2, rate=400e6)
+
+        # GUPPI-like: 32 coarse channels, 2-bit complex dual-pol, in-kernel
+        # JA98 unpack + excision weights (per-chan 64 subbands -> 2048 out).
+        # freq_res 2048 -> per-chan n_fft 131072, R1 512, row_len 256;
+        # npw=256 divides it (the JA98 fused-path requirement); 16 windows
+        # per block amortize the ~35 ms dispatch (PERF.md cost model)
+        obs_g = _make_obs(nchan=32, ndim=2, nbit=2, rate=12.5e6, bw=-400.0)
+        cfg_g = dataclasses.replace(
+            flagship, nchan=2048, dispersion_measure=71.0,
+            frequency_resolution=2048, ndat_per_weight=256, block_parts=16,
+            min_block_samples=0, nbin=1024)
+
+        # 32 coarse channels, 8-bit complex dual-pol, convolved per channel
+        # at its own chirp with NO further channelization (dspsr without -F
+        # on a channelized instrument band).  n_fft 512k keeps the overlap
+        # under ~15% of the window (DM 71 smears ~57k samples/channel) and
+        # 4 windows/block amortize the per-dispatch cost (PERF.md)
+        obs_c32 = _make_obs(nchan=32, ndim=2, rate=12.5e6, bw=-400.0)
+        cfg_c32 = dataclasses.replace(
+            flagship, nchan=32, dispersion_measure=71.0,
+            frequency_resolution=1 << 19, block_parts=4,
+            min_block_samples=0)
+
+        # fused search-mode front end (digifil)
+        fil_cfg = FilConfig(nchan=64, dispersion_measure=2.64, nbits=8,
+                            min_block_samples=min_block, block_parts=8)
+
+        # priority order: the measured fallback floor first (the number
+        # every ineligible config pays), then the round-4 hybrid paths,
+        # then variants with expensive cold compiles last
+        entries = [
+            # the general XLA op chain — the fallback every ineligible
+            # config runs.  Smaller blocks: the XLA chain materializes
+            # framed f32 windows + spectra, so flagship-size blocks
+            # exceed HBM (the megakernel never materializes them)
+            ("xla_general", lambda: bench_fold(
+                obs_real,
+                dataclasses.replace(
+                    flagship, min_block_samples=min(min_block, 1 << 23)),
+                mreps, mblocks, feed, env={"DSPSR_TPU_NO_MEGA": "1"})),
+            # in-stream SK on the FUSED path (voltage front end + XLA
+            # SK/fold tail in one program); full-size blocks fit: the
+            # hybrid never materializes framed windows
+            ("hybrid_sk", lambda: bench_fold(
+                obs_real,
+                dataclasses.replace(flagship, sk_enable=True, sk_m=1024),
+                mreps, mblocks, feed)),
+            # spectral RFI filter ON the fused path (round 4): the zap
+            # mask from each block's passband tap multiplies the chirp and
+            # rides into the next block as a traced response argument
+            # (reference RFIFilter x ResponseProduct)
+            ("hybrid_rfi", lambda: bench_fold(
+                obs_real, dataclasses.replace(flagship, rfi_filter=True),
+                mreps, mblocks, feed)),
+            ("mega_analytic_8bit", lambda: bench_fold(
+                obs_cplx,
+                dataclasses.replace(flagship,
+                                    min_block_samples=min_block // 2),
+                mreps, mblocks, feed)),
+            # bf16 stage constants (VERDICT r2 #9: measure on the chip)
+            ("mega_bf16", lambda: bench_fold(
+                obs_real, flagship, mreps, mblocks, feed,
+                env={"DSPSR_TPU_MEGA_DTYPE": "bf16"})),
+            ("megafil_search", lambda: bench_megafil(
+                obs_real, fil_cfg, mreps, mblocks)),
+            # cyclic spectroscopy (CyclicFold) through the VOLTAGE hybrid
+            # front end: undetected split-complex baseband + lag-product
+            # fold tail; half-size blocks (voltage planes double HBM)
+            ("hybrid_cyclic", lambda: bench_fold(
+                obs_real,
+                dataclasses.replace(flagship, cyclic_nchan=64,
+                                    min_block_samples=min_block // 2),
+                mreps, mblocks, feed)),
+            ("hybrid_conv32", lambda: bench_fold(
+                obs_c32, cfg_c32, mreps, mblocks, feed)),
+            ("mega_guppi_2bit", lambda: bench_fold(
+                obs_g, cfg_g, mreps, mblocks, feed)),
+            # XLA chain + spectral kurtosis excision (weights threading);
+            # historically the slowest compile (~100 s cold) — last
+            ("xla_sk_weights", lambda: bench_fold(
+                obs_real,
+                dataclasses.replace(flagship, sk_enable=True, sk_m=1024,
+                                    min_block_samples=min_block // 4),
+                mreps, mblocks, feed, env={"DSPSR_TPU_NO_MEGA": "1"})),
+        ]
+
+        for tag, thunk in entries:
+            left = budget_s - (time.monotonic() - t_start)
+            if left < entry_margin_s:
+                matrix[tag] = {"skipped": "budget"}
+                continue
+            try:
+                matrix[tag] = thunk()
+            except Exception as e:  # record, don't abort the bench
+                matrix[tag] = {"error": f"{type(e).__name__}: {e}"}
+            # re-emit the full line after every entry: the last complete
+            # line is always the best-so-far snapshot
+            emit()
+        # final line includes any {"skipped": "budget"} markers
+        emit()
 
 
 if __name__ == "__main__":

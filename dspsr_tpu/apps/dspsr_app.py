@@ -111,8 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the time-variable narrow-band RFI filter "
                         "(reference -R -> RFIFilter x ResponseProduct; "
                         "median-bandpass zap, fused-path capable)")
-    p.add_argument("--rfi-median", type=int, default=21, metavar="BINS",
-                   help="RFI filter: median window width across frequency")
+    def _odd_width(s):
+        v = int(s)
+        if v < 3 or v % 2 == 0:
+            raise argparse.ArgumentTypeError(
+                "median window width must be odd and >= 3")
+        return v
+
+    p.add_argument("--rfi-median", type=_odd_width, default=21,
+                   metavar="BINS",
+                   help="RFI filter: median window width across frequency "
+                        "(odd, >= 3)")
     p.add_argument("--rfi-threshold", type=float, default=4.0,
                    help="RFI filter: zap bins above this multiple of the "
                         "local median bandpass")

@@ -97,15 +97,47 @@ class Mark5BFile(Source):
                 "bits/sample)")
         self.samples_per_frame = PAYLOAD_BYTES * 8 // bits
 
-        frames_per_sec = self._count_frames_per_second()
+        # frames/second: a sidecar override wins (FPS, or derived from
+        # SAMPLE_RATE in Hz); otherwise scan for the first second rollover.
+        # A recording shorter than one second cannot establish the rate
+        # from the counter alone (ADVICE r4) — that case raises unless a
+        # sidecar override is provided.
+        if "FPS" in kv:
+            frames_per_sec = int(float(kv["FPS"]))
+        elif "SAMPLE_RATE" in kv:
+            frames_per_sec = int(
+                round(float(kv["SAMPLE_RATE"]) / self.samples_per_frame))
+        else:
+            frames_per_sec, saw_rollover = self._count_frames_per_second()
+            if not saw_rollover:
+                raise ValueError(
+                    "Mark5B stream shorter than one UTC second: cannot "
+                    "derive frames/sec from the frame counter; provide "
+                    "FPS or SAMPLE_RATE in the sidecar header "
+                    f"{path + '.hdr'}")
         rate = frames_per_sec * self.samples_per_frame
 
         # resolve the 3-digit truncated MJD against the reference epoch
         jjj = hdr["jjj"]
         k = round((mjd_ref - jjj) / 1000.0)
         mjd = jjj + 1000 * k
-        start = MJD(mjd, float(hdr["sec"]) + hdr["frac"] * 1e-4) + (
-            hdr["frame"] / frames_per_sec if frames_per_sec else 0.0)
+        # Sub-second offset comes from the frame counter ALONE: on
+        # VLBA-capable recorders the BCD '.SSSS' field encodes the SAME
+        # within-second offset as the frame number, so adding both would
+        # double-count by up to ~1 s (the reference's mark5access uses
+        # MJD(mjd, sec, 0) + frame offset, Mark5bFile.C).  The BCD field
+        # serves only as a coarse cross-check.
+        frac = hdr["frame"] / frames_per_sec
+        bcd_frac = hdr["frac"] * 1e-4
+        if bcd_frac and abs(bcd_frac - frac) > max(2.0 / frames_per_sec,
+                                                   2e-4):
+            import warnings
+
+            warnings.warn(
+                "Mark5B BCD fractional-second field (%.4f s) disagrees "
+                "with the frame-counter offset (%.6f s); trusting the "
+                "frame counter" % (bcd_frac, frac))
+        start = MJD(mjd, float(hdr["sec"])) + frac
 
         self.obs = Observation(
             nchan=nchan, npol=npol, ndim=ndim, nbit=nbit,
@@ -131,8 +163,13 @@ class Mark5BFile(Source):
                 return parse_ascii_header(f.read())
         return {}
 
-    def _count_frames_per_second(self) -> int:
-        """Frames/second from the frame counter (constant-rate stream)."""
+    def _count_frames_per_second(self) -> tuple:
+        """(frames/second, saw_rollover) from the frame counter.
+
+        Only a second rollover proves the count; without one (recording
+        shorter than a second, or truncated) the caller must have a
+        sidecar override or fail loudly (ADVICE r4).
+        """
         sec0 = self._hdr0["sec"]
         best = self._hdr0["frame"]
         with open(self.path, "rb") as f:
@@ -143,9 +180,9 @@ class Mark5BFile(Source):
                     break
                 h = parse_mark5b_header(buf)
                 if h["sec"] != sec0:
-                    return best + 1
+                    return best + 1, True
                 best = max(best, h["frame"])
-        return best + 1
+        return best + 1, False
 
     @staticmethod
     def is_valid(path: str) -> bool:

@@ -973,6 +973,13 @@ class FoldPipeline:
             # (unpack_affine: sub-byte fields wrap to signed in-kernel)
             and (not self.unpack_plan.twos_complement
                  or obs.nbit in (2, 4, 8))
+            # JA98 dynamic levels index the one-hot level table by
+            # OFFSET-BINARY state codes (megakernel.py validate); a
+            # two's-complement 2-bit stream with dynamic correction
+            # enabled must take the XLA chain instead of crashing
+            # MegaPlan construction (ADVICE r4)
+            and not (self.unpack_plan.twos_complement
+                     and self.unpack_plan.twobit is not None)
             # the RFI filter rides the fused front end as a per-block
             # response argument (chirp x zap mask) when there is a
             # filterbank and a scalar response slot to multiply into;

@@ -36,6 +36,10 @@ def median_filter_freq(bandpass: jnp.ndarray, width: int) -> jnp.ndarray:
     128 lanes and run a padded bitonic sort (measured ~100x slower inside
     large fused programs on TPU).
     """
+    if width < 3 or width % 2 == 0:
+        # w[width//2] is the true median only for odd widths; an even
+        # value would silently yield an off-center order statistic
+        raise ValueError(f"median width must be odd and >= 3, got {width}")
     half = width // 2
     pad = [(0, 0)] * (bandpass.ndim - 1) + [(half, half)]
     padded = jnp.pad(bandpass, pad, mode="edge")

@@ -382,8 +382,15 @@ def _bcd_enc(value, digits):
 
 
 def make_mark5b(path, nframes=16, frames_per_sec=4, mjd=58100, sec=4321,
-                seed=0):
-    """Synthetic Mark5B stream; returns the payload bytes."""
+                seed=0, start_frame=0, bcd_frac=True):
+    """Synthetic Mark5B stream; returns the payload bytes.
+
+    ``start_frame``: the within-second frame number of the first frame
+    (a recording that started mid-second).  ``bcd_frac``: also encode the
+    within-second offset in the BCD '.SSSS' field, as VLBA-capable
+    recorders do — the reader must NOT add it on top of the frame-counter
+    offset.
+    """
     from dspsr_tpu.io.mark5b import FRAME_BYTES, HEADER_BYTES, MARK5B_SYNC
 
     rng = np.random.default_rng(seed)
@@ -391,12 +398,13 @@ def make_mark5b(path, nframes=16, frames_per_sec=4, mjd=58100, sec=4321,
     data = rng.integers(0, 256, nframes * payload).astype(np.uint8)
     with open(path, "wb") as f:
         for i in range(nframes):
-            s = sec + i // frames_per_sec
-            frm = i % frames_per_sec
+            s = sec + (start_frame + i) // frames_per_sec
+            frm = (start_frame + i) % frames_per_sec
             w0 = MARK5B_SYNC
             w1 = frm & 0x7FFF
             w2 = (_bcd_enc(mjd % 1000, 3) << 20) | _bcd_enc(s, 5)
-            w3 = _bcd_enc(0, 4) << 16
+            frac = int(round(frm / frames_per_sec * 1e4)) if bcd_frac else 0
+            w3 = _bcd_enc(frac, 4) << 16
             f.write(struct.pack("<4I", w0, w1, w2, w3))
             f.write(data[i * payload : (i + 1) * payload].tobytes())
     return data
@@ -419,6 +427,37 @@ class TestMark5B:
         # truncated MJD 100 resolves near the default 58000 reference
         assert o.start_time.days == 58100
         assert abs(o.start_time.secs - 4321.0) < 1e-6
+
+    def test_midsecond_start_no_double_count(self, tmp_path):
+        """A recording starting at frame 2/4 with the SAME offset in the
+        BCD '.SSSS' field: start time is sec + 0.5 exactly (the frame
+        counter), not sec + 1.0 (ADVICE r4: double-counted offset)."""
+        p = str(tmp_path / "mid.m5b")
+        make_mark5b(p, nframes=16, start_frame=2, bcd_frac=True)
+        src = open_source(p)
+        assert abs(src.obs.start_time.secs - 4321.5) < 1e-9
+
+    def test_short_stream_requires_sidecar_rate(self, tmp_path):
+        """No second rollover in the scan -> frames/sec is unknowable
+        from the counter; the reader must fail loudly unless the sidecar
+        provides FPS or SAMPLE_RATE (ADVICE r4)."""
+        import pytest
+        from dspsr_tpu.io.mark5b import Mark5BFile
+
+        p = str(tmp_path / "short.m5b")
+        make_mark5b(p, nframes=3, frames_per_sec=4)  # all in one second
+        with pytest.raises(ValueError, match="shorter than one"):
+            Mark5BFile(p)
+        with open(p + ".hdr", "w") as f:
+            f.write("FPS 4\n")
+        src = Mark5BFile(p)
+        assert src.obs.rate == 4 * 40000
+        # SAMPLE_RATE in Hz works too
+        p2 = str(tmp_path / "short2.m5b")
+        make_mark5b(p2, nframes=3, frames_per_sec=4)
+        with open(p2 + ".hdr", "w") as f:
+            f.write("SAMPLE_RATE 160000\n")
+        assert Mark5BFile(p2).obs.rate == 160000.0
 
     def test_read_crosses_frames(self, tmp_path):
         p = str(tmp_path / "t2.m5b")

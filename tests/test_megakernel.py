@@ -1040,3 +1040,31 @@ def test_pipeline_fixed_twobit_mega_vs_general(tmp_path, monkeypatch):
     corr = [np.corrcoef(pa[0, c, 0], pb[0, c, 0])[0, 1]
             for c in range(pa.shape[1])]
     assert min(corr) > 0.98, corr
+
+
+def test_twos_complement_dynamic_twobit_falls_back(vela_polyco, tmp_path):
+    """A 2-bit two's-complement stream with JA98 dynamic correction
+    enabled (the default) must fall back to the XLA chain: the fused
+    JA98 path indexes its one-hot level table by offset-binary state
+    codes (ADVICE r4 crash: MegaPlan.validate raised mid-construction
+    instead of falling back)."""
+    from dspsr_tpu.io.sources import DummySource
+    from dspsr_tpu.models.load_to_fold import FoldPipeline, FoldConfig
+    from dspsr_tpu.observation import Observation, Signal
+    from dspsr_tpu.timing.mjd import MJD
+
+    obs = Observation(
+        nchan=1, npol=2, ndim=1, nbit=2, centre_frequency=1382.0,
+        bandwidth=-400.0, rate=800e6,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=Signal.NYQUIST, source="J0437-4715", telescope="PKS",
+        instrument="DUMMY").replace(ndat=1 << 24)
+    base = dict(polyco_path="/root/reference/Benchmark/polyco.dat",
+                dispersion_measure=2.64, nchan=64, nbin=64,
+                frequency_resolution=65536)
+    pipe = FoldPipeline(DummySource(obs),
+                        FoldConfig(twos_complement=True, **base))
+    assert pipe.mega_mode is None  # XLA chain, no crash
+    pipe2 = FoldPipeline(DummySource(obs),
+                         FoldConfig(twos_complement=False, **base))
+    assert pipe2.mega_mode is not None  # offset-binary stays fused
