@@ -253,6 +253,101 @@ def bench_megafil(obs, cfg, reps, nblocks):
     }
 
 
+def sweep():
+    """Filterbank-kernel microbenchmark sweep (the reference's second
+    benchmark harness: ``Signal/General/filterbank_speed.C:189-221`` +
+    ``Benchmark/filterbank_bench.csh`` sweep nchan x nfft and report
+    time/transform + MFLOPS).
+
+    Times the fused megafil FRONT END (unpack -> forward matmul-FFT ->
+    response -> per-subband inversion, voltage output — the same stages
+    the reference's ``Filterbank::operate`` covers) per overlap-save
+    window, on complex single-pol input, and prints one JSON line per
+    grid point AS IT GOES:
+      {"nchan": C, "nfft": N, "us_per_transform": T, "mflops": F, ...}
+    MFLOPS uses the reference's formula
+    ``5*nfft*nchan*(2*log2(nfft)+log2(nchan))/time_us``
+    (``filterbank_speed.C:207-214``) so the numbers compare directly.
+
+    Grid: nchan in {4..1024}, nfft in {1k..256k}, nchan*nfft <= 2^22
+    (bounds the per-point compile cost).  DSPSR_TPU_SWEEP_BUDGET_S
+    (default 2400) stops the sweep cleanly.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    from dspsr_tpu.utils.platform import enable_compilation_cache
+    from dspsr_tpu.io.sources import device_noise_bytes
+    from dspsr_tpu.ops.filterbank import FilterbankPlan
+    from dspsr_tpu.ops.megakernel import MegaConstants, MegaPlan, \
+        build_megafil
+
+    enable_compilation_cache()
+    budget = float(os.environ.get("DSPSR_TPU_SWEEP_BUDGET_S", 2400))
+    t0_all = time.monotonic()
+    reps = int(os.environ.get("DSPSR_TPU_SWEEP_REPS", 3))
+
+    for nchan in (4, 16, 64, 256, 1024):
+        for nfft in (1 << 10, 1 << 12, 1 << 14, 1 << 16, 1 << 18):
+            if nchan * nfft > (1 << 22):
+                continue
+            if time.monotonic() - t0_all > budget:
+                print(json.dumps({"nchan": nchan, "nfft": nfft,
+                                  "skipped": "budget"}))
+                sys.stdout.flush()
+                continue
+            try:
+                fb = FilterbankPlan(real_input=False, nchan_subband=nchan,
+                                    freq_res=nfft, nfilt_pos=0, nfilt_neg=0)
+                mp = MegaPlan.from_filterbank(
+                    fb, nbin=2, npol=1, npol_out=1, nbit=8, nchan_in=1)
+                if mp is None or (mp.row_len < 128
+                                  and jax.default_backend() != "cpu"):
+                    print(json.dumps({"nchan": nchan, "nfft": nfft,
+                                      "skipped": "geometry"}))
+                    sys.stdout.flush()
+                    continue
+                cst = MegaConstants(mp, None, unpack_scale=1 / 64.0,
+                                    unpack_offset=-2.0)
+                # enough windows per dispatch to amortize the ~35 ms
+                # per-program cost, bounded in HBM
+                npart = max(2, min(64, (1 << 24) // (nchan * nfft)))
+                front = build_megafil(mp, cst, npart, output="voltage")
+                nbytes = mp.block_ndat(npart) * mp.ndim
+
+                @jax.jit
+                def run_block(seed):
+                    raw = device_noise_bytes(seed, nbytes)
+                    re, im = front(raw)
+                    return jnp.sum(re[:, :, -1]) + jnp.sum(im[:, :, -1])
+
+                t0 = time.monotonic()
+                np.asarray(run_block(jnp.uint32(0)))
+                compile_s = time.monotonic() - t0
+                per = []
+                for r in range(reps):
+                    t0 = time.monotonic()
+                    acc = 0.0
+                    for b in range(4):
+                        acc = acc + run_block(jnp.uint32(r * 4 + b + 1))
+                    np.asarray(acc)
+                    per.append((time.monotonic() - t0) / (4 * npart) * 1e6)
+                t_us = statistics.median(per)
+                mflops = (5.0 * nfft * nchan
+                          * (2 * math.log2(nfft) + math.log2(nchan)) / t_us)
+                print(json.dumps({
+                    "nchan": nchan, "nfft": nfft,
+                    "us_per_transform": round(t_us, 2),
+                    "mflops": round(mflops, 0),
+                    "npart": npart, "compile_s": round(compile_s, 1),
+                    "per_rep_us": [round(x, 2) for x in per]}))
+            except Exception as e:
+                print(json.dumps({"nchan": nchan, "nfft": nfft,
+                                  "error": f"{type(e).__name__}: {e}"}))
+            sys.stdout.flush()
+
+
 def main():
     t_start = time.monotonic()
     from dspsr_tpu.utils.platform import enable_compilation_cache
@@ -426,4 +521,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "sweep" in sys.argv[1:]:
+        sweep()
+    else:
+        main()

@@ -145,6 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--single-pulse", action="store_true",
                    help="create single-pulse subintegrations "
                         "(= --turns 1; reference -s)")
+    p.add_argument("-y", "--fractional-pulses", action="store_true",
+                   help="output partially completed integrations: keep "
+                        "the partial first pulse of turn divisions "
+                        "(reference -y -> TimeDivide fractional_pulses)")
+    p.add_argument("--Lepoch", type=float, default=None, metavar="MJD",
+                   help="start time of the first sub-integration "
+                        "(reference -Lepoch; default: integer -L aligns "
+                        "to UTC multiples of the length in the day)")
     p.add_argument("-A", "--single-archive", action="store_true",
                    help="output a single archive with multiple "
                         "integrations (reference -A; this is also the "
@@ -339,6 +347,8 @@ def main(argv=None) -> int:
         minimum_integration_length=args.minimum_integration,
         subint_seconds=args.subint,
         subint_turns=args.turns,
+        integration_reference_epoch=args.Lepoch,
+        fractional_pulses=args.fractional_pulses,
         report=args.report,
         block_parts=args.block_parts,
         rfi_filter=args.zap_rfi,

@@ -112,6 +112,15 @@ class FoldConfig:
     #: PhaseSeriesUnloader::set_minimum_integration_length; typically drops
     #: the final partial subint)
     minimum_integration_length: float = 0.0
+    #: explicit MJD of the first sub-integration boundary (reference
+    #: -Lepoch -> TimeDivide reference_epoch); default: integer -L aligns
+    #: to UTC multiples of the division length in the day
+    #: (TimeDivide.C:60-81)
+    integration_reference_epoch: Optional[float] = None
+    #: -y: keep partially-completed integrations — for single-pulse/turn
+    #: divisions, fold the partial first pulse instead of discarding data
+    #: before the first reference-phase crossing (TimeDivide.C:122-129)
+    fractional_pulses: bool = False
 
     # engine geometry
     block_parts: int = 4  # FFT windows per device block
@@ -669,16 +678,6 @@ class FoldPipeline:
         # --- block geometry ---
         self._plan_blocks()
 
-        if (self.mega_plan is not None and cfg.rfi_filter
-                and self.source.total_samples
-                < self.block_in_samples + self.stride_in_samples):
-            # single-block run: the fused RFI filter applies each block's
-            # mask to the NEXT block, so it would never engage; the XLA
-            # chain zaps same-block (the reference computes the filter
-            # from the same interval it applies to, RFIFilter.C)
-            self.mega_plan = None
-            self.mega_mode = None
-
         if self.mega_plan is not None:
             from ..ops.megakernel import MegaConstants, build_megastep, unpack_affine
 
@@ -723,9 +722,11 @@ class FoldPipeline:
                 self._megastep = self._build_hybrid_step(front_plan, cstf)
                 if cfg.rfi_filter:
                     # initial response = the bare chirp (mask of ones);
-                    # updated per block from the measured bandpass
+                    # run() primes it with the first block's own mask
+                    # (same-block zap), then updates per block
                     self._rfi_resp = (jnp.asarray(cstf.gr),
                                       jnp.asarray(cstf.gi))
+                    self._rfi_primed = False
             else:
                 cst = MegaConstants(self.mega_plan, resp, dtype=dt,
                                     unpack_scale=scale, unpack_offset=offset,
@@ -733,6 +734,18 @@ class FoldPipeline:
                                     window=win)
                 self._megastep = build_megastep(self.mega_plan, cst,
                                                 self.npart)
+
+        if cfg.rfi_filter and self.fb_plan is None \
+                and self.mega_mode != "hybrid":
+            # the XLA convolution chain has no pre-response bandpass tap:
+            # zapping would silently no-op.  The fused hybrid engine
+            # carries the mask as a traced response (same data path the
+            # reference's RFIFilter x ResponseProduct takes,
+            # Convolution.C:425-436).
+            raise NotImplementedError(
+                "-R without a filterbank stage requires the fused hybrid "
+                "engine (ineligible here); remove DSPSR_TPU_NO_MEGA or "
+                "add channelization (-F)")
 
         # --- apodization window (built at the final FFT geometry) ---
         if cfg.fft_window:
@@ -783,6 +796,8 @@ class FoldPipeline:
         #: TRUE subint start, reference TimeDivide division bookkeeping —
         #: not the arrival time of some later block)
         self._div_first_time: Optional[MJD] = None
+        #: sample-exact division bookkeeping (set by run() when -L/--turns)
+        self._divider = None
         self._byte_counts = np.zeros(256, np.int64)
         self._passband = None
         self._pdmp_stats = None
@@ -872,8 +887,11 @@ class FoldPipeline:
             width = self.config.rfi_median_width
             thresh = self.config.rfi_threshold
             # natural-order chirp split pair [nchan_in, n_fft] (ones when
-            # no dedispersion): the base the zap mask multiplies into
-            if self.kernel is not None:
+            # no dedispersion): the base the zap mask multiplies into.
+            # With a Jones response the chirp is already pre-multiplied
+            # into the Jones planes (ops.polncal.jones_product), so the
+            # traced scalar slot carries the BARE mask (ResponseProduct).
+            if self.kernel is not None and self._jones_natural is None:
                 _flat = np.asarray(self.kernel.phasors).reshape(
                     nchan_in, front_plan.n_fft)
             else:
@@ -899,17 +917,17 @@ class FoldPipeline:
                                         front_plan)
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def step(profiles, hits, raw, phi0, dphi, gr, gi):
+            def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None):
                 out = front(raw, gr, gi)
-                tail = _tail(profiles, hits, out, phi0, dphi)
+                tail = _tail(profiles, hits, out, phi0, dphi, bounds)
                 gr2, gi2 = next_response(out[2])
                 return (*tail, gr2, gi2)
         else:
             @partial(jax.jit, donate_argnums=(0, 1))
-            def step(profiles, hits, raw, phi0, dphi):
-                return _tail(profiles, hits, front(raw), phi0, dphi)
+            def step(profiles, hits, raw, phi0, dphi, bounds=None):
+                return _tail(profiles, hits, front(raw), phi0, dphi, bounds)
 
-        def _tail(profiles, hits, out, phi0, dphi):
+        def _tail(profiles, hits, out, phi0, dphi, bounds=None):
             data, wwin = out[0], out[1]
             pb = out[2] if want_pb else None
             # per-window excision weights broadcast over each window's
@@ -920,7 +938,7 @@ class FoldPipeline:
             ).reshape(nchan_out, ndat_out)
             if mode == "voltage":
                 return self._fold_tail(profiles, hits, data, weights,
-                                       phi0, dphi, pb=pb)
+                                       phi0, dphi, pb=pb, bounds=bounds)
             # detected front: convert the front planes to the target state
             # (Detection.C:42-66 conventions; stokes_detect.ic)
             P = data
@@ -944,7 +962,7 @@ class FoldPipeline:
             return self._fold_tail_d(
                 profiles, hits, d,
                 power if self.sk_plan is not None else None,
-                weights, phi0, dphi, pb=pb)
+                weights, phi0, dphi, pb=pb, bounds=bounds)
 
         return step
 
@@ -981,12 +999,11 @@ class FoldPipeline:
             and not (self.unpack_plan.twos_complement
                      and self.unpack_plan.twobit is not None)
             # the RFI filter rides the fused front end as a per-block
-            # response argument (chirp x zap mask) when there is a
-            # filterbank and a scalar response slot to multiply into;
-            # Jones or pure-convolution RFI configs stay on the XLA chain
-            and not (cfg.rfi_filter
-                     and (self.fb_plan is None
-                          or self._jones_natural is not None))
+            # traced response argument: the zap mask multiplies the chirp
+            # (scalar response), the Jones response (via the in-kernel
+            # ResponseProduct slot), or stands alone on the nsub == 1
+            # pure-convolution path (r5: previously all three fell back
+            # to the XLA chain)
             and (det_np == 1 or obs.npol == 2)
             and (self.det_state not in (Signal.PP, Signal.QQ)
                  or obs.npol == 2)
@@ -1142,30 +1159,35 @@ class FoldPipeline:
 
     @partial(jax.jit, static_argnames=("self",),
              donate_argnames=("profiles", "hits"))
-    def _step(self, profiles, hits, raw, phi0, dphi):
-        return self._step_core(profiles, hits, raw, phi0, dphi)
+    def _step(self, profiles, hits, raw, phi0, dphi, bounds=None):
+        return self._step_core(profiles, hits, raw, phi0, dphi,
+                               bounds=bounds)
 
     @partial(jax.jit, static_argnames=("self",),
              donate_argnames=("profiles", "hits"))
-    def _step_multi(self, profiles, hits, raws, phi0s, dphis):
+    def _step_multi(self, profiles, hits, raws, phi0s, dphis, bounds=None):
         """Process a stack of blocks in ONE dispatch (lax.scan over blocks).
 
         The execution backend charges a large fixed latency per dispatched
         program (measured ~30 ms regardless of FLOPs), so the host batches
         ``blocks_per_step`` blocks per call — the device-side analogue of the
-        reference's block-size-from-RAM-budget tuning.
+        reference's block-size-from-RAM-budget tuning.  ``bounds`` (shared
+        by every block of the batch) exists so a sub-integration run keeps
+        ONE compiled program: batches are only formed from whole blocks
+        inside one division, so the span is always the full block.
         """
         def body(carry, inp):
             prof, h = carry
             raw, p0, dp = inp
-            return self._step_core(prof, h, raw, p0, dp), None
+            return self._step_core(prof, h, raw, p0, dp,
+                                   bounds=bounds), None
 
         (profiles, hits), _ = jax.lax.scan(
             body, (profiles, hits), (raws, phi0s, dphis))
         return profiles, hits
 
     def _step_core(self, profiles, hits, raw, phi0, dphi,
-                   chan_ix=None, n_chan_shards=1):
+                   chan_ix=None, n_chan_shards=1, bounds=None):
         """One block through the op chain.
 
         ``chan_ix``/``n_chan_shards``: when called inside a channel-sharded
@@ -1174,6 +1196,10 @@ class FoldPipeline:
         the big forward FFT and the per-subband inversion (the reference's
         MPITrans channel scatter point).  ``profiles``/``hits`` are then the
         local channel slices.
+
+        ``bounds``: optional traced int32[2] = [lo, hi) output-sample span
+        to fold (sample-exact TimeDivide division bounds; samples outside
+        get zero fold weight, reference ``SubFold::set_limits``).
         """
         from ..ops.filterbank import (
             forward_spectra_chunked, apply_response_chunked, invert_subbands)
@@ -1238,7 +1264,10 @@ class FoldPipeline:
             w, self.obs_out.nchan // (n_chan_shards if sharded else 1),
             self._tail_ndat(y), chan_ix=chan_ix,
             n_chan_shards=n_chan_shards)
-        return self._fold_tail(profiles, hits, y, weights, phi0, dphi, pb=pb)
+        return self._fold_tail(
+            profiles, hits, y, weights, phi0, dphi, pb=pb, bounds=bounds,
+            sk_ctx=(("chan", nchan_total, chan_ix * local)
+                    if sharded else None))
 
     def _tail_ndat(self, y) -> int:
         """Detected samples the tail will fold from voltage stream ``y``."""
@@ -1247,7 +1276,8 @@ class FoldPipeline:
             ndat -= self.cyclic_plan.nlag - 1
         return ndat
 
-    def _fold_tail(self, profiles, hits, y, weights, phi0, dphi, pb=None):
+    def _fold_tail(self, profiles, hits, y, weights, phi0, dphi, pb=None,
+                   bounds=None, sk_ctx=None):
         """The general tail shared by the XLA chain and the hybrid fused
         step: cyclic lag products / detection / fourth moments / in-stream
         SK / the (multi-source) fold / dump+passband extras.
@@ -1269,12 +1299,18 @@ class FoldPipeline:
             else:
                 power = y * y
         return self._fold_tail_d(profiles, hits, d, power, weights,
-                                 phi0, dphi, pb=pb)
+                                 phi0, dphi, pb=pb, bounds=bounds,
+                                 sk_ctx=sk_ctx)
 
     def _fold_tail_d(self, profiles, hits, d, power, weights, phi0, dphi,
-                     pb=None):
+                     pb=None, bounds=None, sk_ctx=None):
         """Tail from the DETECTED stream ``d`` (+ per-pol ``power`` for the
-        SK mask when enabled): fourth moments / SK / fold / extras."""
+        SK mask when enabled): fourth moments / SK / fold / extras.
+
+        ``bounds``: int32[2] = [lo, hi) output-sample fold span (TimeDivide
+        sample-exact division bounds) — applied as a per-sample zero weight
+        outside the span, so hits/profiles count exactly the division's
+        samples."""
         if self.config.fourth_moment:
             from ..ops.fourth_moment import fourth_moment
 
@@ -1296,9 +1332,23 @@ class FoldPipeline:
             mom = jnp.stack([jnp.sum(d ** k, axis=2) for k in (1, 2, 3, 4)],
                             axis=-1)
         weights = weights[:, :ndat_out]
+        if bounds is not None:
+            idx = jnp.arange(ndat_out, dtype=jnp.int32)
+            span = jnp.logical_and(idx >= bounds[0], idx < bounds[1])
+            weights = weights * span.astype(jnp.float32)[None, :]
         if self.sk_plan is not None:
             nblk = ndat_out // self.sk_plan.M
-            skw = expand_mask(sk_mask(power, self.sk_plan, nblk), self.sk_plan.M)
+            if sk_ctx is not None:
+                # channel-sharded shard_map: the fscr round pools S1/S2
+                # over the mesh "chan" axis so thresholds use the global
+                # Nd (single-device detection semantics; no local-Nd
+                # deviation)
+                axis, total, coff = sk_ctx
+                skm = sk_mask(power, self.sk_plan, nblk, axis_name=axis,
+                              nchan_total=total, chan_offset=coff)
+            else:
+                skm = sk_mask(power, self.sk_plan, nblk)
+            skw = expand_mask(skm, self.sk_plan.M)
             skpad = ndat_out - skw.shape[-1]
             if skpad > 0:
                 # trailing partial SK cell keeps weight 1
@@ -1424,6 +1474,7 @@ class FoldPipeline:
         rep = RunReport(enabled=self.config.report)
         start = seek
         nblocks = 0
+        out_off = 0  # global output-sample index of the next block
         tsamp_out = 1.0 / self.obs_out.rate
         seg = self.fold_plan.seg_len
         # anchors cover the zero-weight-padded tail segment; the actual
@@ -1432,16 +1483,54 @@ class FoldPipeline:
         nuse = self.out_per_block
         bps = 1 if self._megastep is not None else self.config.blocks_per_step
 
+        # sample-exact sub-integration divider (reference TimeDivide/
+        # SubFold): blocks containing a boundary are folded once per
+        # division with per-sample [lo, hi) bounds in the device step
+        divider = None
+        if self.config.subint_seconds > 0 or self.config.subint_turns > 0:
+            from ..timing.timedivide import TimeDivide
+
+            lep = self.config.integration_reference_epoch
+            divider = TimeDivide(
+                rate=self.obs_out.rate,
+                start_time=self.output_start_time(seek),
+                seconds=self.config.subint_seconds,
+                turns=self.config.subint_turns,
+                predictor=self.predictor,
+                reference_phase=self.config.reference_phase,
+                reference_epoch=(MJD.from_mjd(lep) if lep else None),
+                fractional_pulses=self.config.fractional_pulses)
+            self._divider = divider
+            if self.mega_mode == "full" and nuse >= (1 << 24):
+                # the fused kernel compares bounds in f32 (exact < 2^24)
+                raise ValueError(
+                    "sub-integration bounds need out_per_block < 2^24 on "
+                    "the fused path; reduce the block size")
+        full_bounds = (jnp.asarray(np.array([0, nuse], np.int32))
+                       if divider is not None else None)
+
+        def open_division(dv: int, first_sample: int):
+            if dv != self._current_div:
+                self._flush_division()
+                self._current_div = dv
+            if self._div_first_time is None:
+                self._div_first_time = divider.epoch_of(first_sample)
+
         while start + self.block_in_samples <= nsamp_total:
-            # gather up to blocks_per_step blocks that share a subint
+            # gather up to blocks_per_step whole blocks inside one subint
+            # (exact-boundary decision: a block whose output spans a
+            # division boundary is processed alone, split by bounds)
             batch = []
+            batch_segs = None
             while (len(batch) < bps
                    and start + self.block_in_samples <= nsamp_total
                    and (max_blocks is None or nblocks + len(batch) < max_blocks)):
-                t_out0 = self.output_start_time(start)
-                if batch and self._division_index(t_out0, batch[0][3]) != \
-                        self._division_index(batch[0][3], batch[0][3]):
+                segs = (divider.segments(out_off + len(batch) * nuse, nuse)
+                        if divider is not None else None)
+                if batch and segs is not None and (
+                        len(segs) > 1 or segs[0][2] != batch_segs[0][2]):
                     break
+                t_out0 = self.output_start_time(start)
                 with rep.stage("read"):
                     raw = src.read_samples(start, self.block_in_samples)
                 if self.config.digitizer_stats and self.obs_in.nbit <= 8:
@@ -1457,58 +1546,114 @@ class FoldPipeline:
                         phi0, dphi = compute_anchors(
                             self.predictor, t_out0, tsamp_out, nuse_pad, seg)
                 phi0 = (phi0 - self.config.reference_phase) % 1.0
+                if not batch:
+                    batch_segs = segs
                 batch.append((raw, phi0, dphi, t_out0))
                 start += self.stride_in_samples
+                if segs is not None and len(segs) > 1:
+                    break  # boundary block: fold alone, one call per span
             if not batch:
                 break
 
-            self._maybe_divide(batch[0][3])
             with rep.stage("device_step"):
                 if self._megastep is not None or len(batch) == 1:
                     raw, phi0, dphi, t_out0 = batch[0]
                     fn = (self._megastep if self._megastep is not None
                           else self._step)
+                    if self._rfi_resp is not None and not self._rfi_primed:
+                        # SAME-BLOCK zap for the first block (the
+                        # reference computes the RFIFilter from the
+                        # interval it applies to, RFIFilter.C:44-102):
+                        # run the fused front once on this block with the
+                        # bare chirp to measure its bandpass, adopt the
+                        # resulting mask x chirp response, discard the
+                        # fold.  One extra step per RUN; also makes
+                        # single-block runs fully filtered on the fused
+                        # path (previously an XLA-chain fallback).
+                        prime = fn(
+                            jax.tree_util.tree_map(jnp.zeros_like,
+                                                   self._profiles),
+                            jax.tree_util.tree_map(jnp.zeros_like,
+                                                   self._hits),
+                            jnp.asarray(raw), jnp.asarray(phi0),
+                            jnp.asarray(dphi), *self._rfi_resp,
+                            *(() if full_bounds is None
+                              else (full_bounds,)))
+                        self._rfi_resp = (prime[-2], prime[-1])
+                        self._rfi_primed = True
                     extra_in = self._rfi_resp or ()
-                    res = fn(
-                        self._profiles, self._hits, jnp.asarray(raw),
-                        jnp.asarray(phi0), jnp.asarray(dphi), *extra_in)
-                    res = list(res)
-                    if self._rfi_resp is not None:
-                        # carried response state: chirp x this block's mask
-                        self._rfi_resp = (res[-2], res[-1])
-                        res = res[:-2]
-                    self._profiles, self._hits = res[0], res[1]
-                    k = 2
-                    if self.config.dump_path and len(res) > k:
-                        self._write_dump(np.asarray(res[k]))
-                        k += 1
-                    if self.config.passband and len(res) > k:
-                        pbb = np.asarray(res[k], np.float64)
-                        self._passband = (pbb if self._passband is None
-                                          else self._passband + pbb)
-                        k += 1
-                    if self.config.pdmp_stats and len(res) > k:
-                        mm = np.asarray(res[k], np.float64)
-                        self._pdmp_stats = (
-                            mm if self._pdmp_stats is None
-                            else self._pdmp_stats + mm)
-                        self._pdmp_nsamp += self.out_per_block
+                    spans = (batch_segs if divider is not None
+                             else [(0, nuse, 0)])
+                    rfi_out = None
+                    took_extras = False
+                    for (lo, hi, dv) in spans:
+                        if dv < 0:
+                            # data before the first division: discarded
+                            # (TimeDivide::set_bounds idat_start skip)
+                            continue
+                        if divider is not None:
+                            open_division(dv, out_off + lo)
+                            bnd = (jnp.asarray(
+                                np.array([lo, hi], np.int32)),)
+                        else:
+                            bnd = ()
+                        res = fn(
+                            self._profiles, self._hits, jnp.asarray(raw),
+                            jnp.asarray(phi0), jnp.asarray(dphi),
+                            *extra_in, *bnd)
+                        res = list(res)
+                        if self._rfi_resp is not None:
+                            # carried response state: chirp x this block's
+                            # mask.  A boundary block runs once per span
+                            # with the SAME input state; the (identical)
+                            # output state applies from the next block.
+                            rfi_out = (res[-2], res[-1])
+                            res = res[:-2]
+                        self._profiles, self._hits = res[0], res[1]
+                        if divider is not None:
+                            self._div_samples += hi - lo
+                        if took_extras:
+                            continue
+                        took_extras = True
+                        k = 2
+                        if self.config.dump_path and len(res) > k:
+                            self._write_dump(np.asarray(res[k]))
+                            k += 1
+                        if self.config.passband and len(res) > k:
+                            pbb = np.asarray(res[k], np.float64)
+                            self._passband = (pbb if self._passband is None
+                                              else self._passband + pbb)
+                            k += 1
+                        if self.config.pdmp_stats and len(res) > k:
+                            mm = np.asarray(res[k], np.float64)
+                            self._pdmp_stats = (
+                                mm if self._pdmp_stats is None
+                                else self._pdmp_stats + mm)
+                            self._pdmp_nsamp += self.out_per_block
+                    if rfi_out is not None:
+                        self._rfi_resp = rfi_out
                 else:
+                    if divider is not None:
+                        open_division(batch_segs[0][2], out_off)
+                        self._div_samples += nuse * len(batch)
                     raws = jnp.asarray(np.stack([b[0] for b in batch]))
                     p0s = jnp.asarray(np.stack([b[1] for b in batch]))
                     dps = jnp.asarray(np.stack([b[2] for b in batch]))
                     self._profiles, self._hits = self._step_multi(
-                        self._profiles, self._hits, raws, p0s, dps)
+                        self._profiles, self._hits, raws, p0s, dps,
+                        full_bounds)
             rep.add_samples(self.stride_in_samples * len(batch))
             if self.obs_in.rate > 0:
                 rep.progress(start / self.obs_in.rate,
                              nsamp_total / self.obs_in.rate)
             if self._first_out_time is None:
                 self._first_out_time = batch[0][3]
-            if self._div_first_time is None:
-                self._div_first_time = batch[0][3]
+            if divider is None:
+                if self._div_first_time is None:
+                    self._div_first_time = batch[0][3]
+                self._div_samples += nuse * len(batch)
             self._last_out_time = batch[-1][3] + nuse * tsamp_out
-            self._div_samples += nuse * len(batch)
+            out_off += nuse * len(batch)
             nblocks += len(batch)
             if max_blocks is not None and nblocks >= max_blocks:
                 break
@@ -1534,30 +1679,9 @@ class FoldPipeline:
         with open(path, "ab") as f:
             f.write(tfp.tobytes())
 
-    def _division_index(self, t: MJD, fallback_ref: MJD) -> int:
-        cfg = self.config
-        ref = self._first_out_time or fallback_ref
-        if cfg.subint_turns > 0:
-            # divide on pulse-turn boundaries via the predictor phase
-            # (reference TimeDivide::set_turns, TimeDivide.C); Polyco.phase is
-            # absolute turns in float64 (~1e-6 turn), ample for subints
-            dphi = self.predictor.phase(t) - self.predictor.phase(ref)
-            return int(dphi / cfg.subint_turns)
-        if cfg.subint_seconds <= 0:
-            return 0
-        return int((t - ref) / cfg.subint_seconds)
-
     # ---- sub-integration handling (TimeDivide/Subint equivalents) ----
-
-    def _maybe_divide(self, t_out0: MJD):
-        cfg = self.config
-        if (cfg.subint_seconds <= 0 and cfg.subint_turns <= 0) \
-                or self._first_out_time is None:
-            return
-        div = self._division_index(t_out0, self._first_out_time)
-        if div != self._current_div:
-            self._flush_division()
-            self._current_div = div
+    # division discovery lives in timing.timedivide.TimeDivide (sample-
+    # exact boundaries); run() opens/flushes divisions per block span
 
     def _flush_division(self):
         if self._div_samples == 0:

@@ -814,6 +814,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         phi0_ref = next(it)
         dphi_ref = next(it)
         wgt_ref = next(it)
+        bounds_ref = next(it)
         x_ref = next(it)
         lohi_ref = next(it) if has_lohi else None
         (w1r, w1i, tr, ti, er, ei, gr, gi,
@@ -942,6 +943,15 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         phi0 = phi0_ref[w, 0]
         dphi = dphi_ref[w, 0]
         wgt = wgt_ref[ci, w]
+        # sample-exact sub-integration bounds (TimeDivide/SubFold): only
+        # output samples [lo, hi) of the block fold; full blocks pass
+        # [0, +inf).  Indices ride in f32 (exact below 2^24; the pipeline
+        # asserts out_per_block stays under that when bounds are active).
+        lo_b = bounds_ref[0, 0]
+        hi_b = bounds_ref[1, 0]
+        # this window's first output sample within the block, minus the
+        # overlap-save head discard: global index = t - nfilt_pos + w*nkeep
+        woff = (w * p.nkeep - p.nfilt_pos).astype(f32)
         bin_ids = jax.lax.broadcasted_iota(jnp.int32, (R1, nbin), 1)
         k2p = jax.lax.broadcasted_iota(jnp.int32, (R1, nbin), 0).astype(f32)
         for j1 in range(q):
@@ -952,6 +962,9 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             b = jnp.clip(b, 0, nbin - 1)
             keep = jnp.logical_and(t >= float(p.nfilt_pos),
                                    t < float(p.nfilt_pos + p.nkeep))
+            gidx = t + woff
+            keep = jnp.logical_and(
+                keep, jnp.logical_and(gidx >= lo_b, gidx < hi_b))
             # excision/SK weight folded into the one-hot: scales both the
             # profile contraction AND the hit counts (WeightedTimeSeries)
             onehot = jnp.where(jnp.logical_and(b == bin_ids, keep),
@@ -972,6 +985,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # phi0 [npart, 1]
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dphi [npart, 1]
         pl.BlockSpec(memory_space=pltpu.SMEM),  # wgt [nchan, npart]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds [2, 1] f32
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # x planes
     ]
     if has_lohi:
@@ -1050,7 +1064,7 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
         ) if not interpret else None,
     )
 
-    def _run(profiles, hits, raw, phi0, dphi, ext_wgt, resp):
+    def _run(profiles, hits, raw, phi0, dphi, ext_wgt, resp, bounds=None):
         x, lohi, wgt2 = _prepare_input(raw, p, npart, cst)
         if wgt2 is None:
             wgt = jnp.ones((nchan, npart), jnp.float32)
@@ -1058,7 +1072,11 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
             wgt = wgt2
         if ext_wgt is not None:
             wgt = wgt * ext_wgt.astype(jnp.float32)
-        args = [phi0.reshape(npart, 1), dphi.reshape(npart, 1), wgt, x]
+        if bounds is None:
+            bnd = jnp.array([[0.0], [3e38]], jnp.float32)
+        else:
+            bnd = bounds.astype(jnp.float32).reshape(2, 1)
+        args = [phi0.reshape(npart, 1), dphi.reshape(npart, 1), wgt, bnd, x]
         if has_lohi:
             args.append(lohi)
         args += pre_consts
@@ -1074,26 +1092,33 @@ def build_megastep(plan: MegaPlan, cst: MegaConstants, npart: int,
                 raw.reshape(-1, 4), jnp.float32).reshape(-1)
         return raw
 
+    # every wrapper takes an optional trailing ``bounds`` (f32[2] sample
+    # span [lo, hi) within the block's output domain, TimeDivide): calls
+    # without it compile the unbounded program unchanged; a pipeline with
+    # sub-integrations enabled always passes bounds so ONE bounded program
+    # serves both full and boundary blocks.
     if external_weights:
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(profiles, hits, raw, phi0, dphi, weights):
+        def step(profiles, hits, raw, phi0, dphi, weights, bounds=None):
             """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
             raw flat TFP bytes, phi0/dphi [npart], weights [nchan, npart]."""
-            return _run(profiles, hits, _f32(raw), phi0, dphi, weights, None)
+            return _run(profiles, hits, _f32(raw), phi0, dphi, weights,
+                        None, bounds)
     elif response_as_args:
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(profiles, hits, raw, phi0, dphi, gr, gi):
+        def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None):
             """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
             raw flat TFP bytes, phi0/dphi [npart], gr/gi the per-channel
             chirp pair [nchan, R1, R2] (channel-shardable)."""
             return _run(profiles, hits, _f32(raw), phi0, dphi, None,
-                        (gr, gi))
+                        (gr, gi), bounds)
     else:
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(profiles, hits, raw, phi0, dphi):
+        def step(profiles, hits, raw, phi0, dphi, bounds=None):
             """profiles [nchan, npol_out, nsub, nbin], hits [nchan, nbin],
             raw flat TFP bytes, phi0/dphi [npart]."""
-            return _run(profiles, hits, _f32(raw), phi0, dphi, None, None)
+            return _run(profiles, hits, _f32(raw), phi0, dphi, None, None,
+                        bounds)
 
     return step
 
@@ -1304,7 +1329,13 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                 yi = (jxr[0, 2 * pol] * xspec[1] + jxi[0, 2 * pol] * xspec[0]
                       + jxr[0, 2 * pol + 1] * xspec[3]
                       + jxi[0, 2 * pol + 1] * xspec[2])
-                emit(pol, i == 0, *inverse(yr, yi))
+                # the scalar response slot multiplies AFTER the matrix mix
+                # (reference ResponseProduct: e.g. the RFIFilter zap mask
+                # times the Jones response, Convolution.C:425-436).  With
+                # no scalar response the constants are 1+0j (free).
+                zr = yr * gr[0] - yi * gi[0]
+                zi = yr * gi[0] + yi * gr[0]
+                emit(pol, i == 0, *inverse(zr, zi))
         else:
             fwd_pols = tuple(range(npol)) if passband else out_pols
             i = 0

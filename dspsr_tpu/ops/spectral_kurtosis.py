@@ -66,8 +66,11 @@ def sk_estimate(p: jnp.ndarray, M: int) -> jnp.ndarray:
     return ((Mf + 1.0) / (Mf - 1.0)) * (Mf * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0)
 
 
-@partial(jax.jit, static_argnames=("plan", "nblk"))
-def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
+@partial(jax.jit,
+         static_argnames=("plan", "nblk", "axis_name", "nchan_total"))
+def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int,
+            axis_name: str = None, nchan_total: int = 0,
+            chan_offset=None) -> jnp.ndarray:
     """Compute the SK excision mask for one block.
 
     Args:
@@ -76,6 +79,13 @@ def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
         (chan, pol) on the undetected voltages' square-law power
         (``SpectralKurtosis::compute``, ``SpectralKurtosis.C:260-341``),
         then zaps a (chan, block) cell if ANY pol trips.
+      axis_name/nchan_total/chan_offset: set when running inside a
+        channel-sharded ``shard_map`` (``power`` is the local channel
+        slice): the freq-scrunched round pools S1/S2 with a ``psum`` over
+        ``axis_name`` so its thresholds use the GLOBAL Nd = nchan_total
+        (exactly the single-device detection; the reference's detect_fscr
+        pools the whole band), and the --skz_start/--skz_end channel range
+        is interpreted in global channel indices via ``chan_offset``.
 
     Returns weights float32[nchan, nblk]: 1 keep, 0 zap.
     """
@@ -103,15 +113,20 @@ def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
             axis=1)
         w = w * good_t[:, None]
 
-    if plan.detect_fscr and nchan > 1:
+    if plan.detect_fscr and (nchan > 1 or axis_name is not None):
         # sum S1/S2 across channels per (pol, block) (reference detect_fscr,
         # which pools the per-channel sums): Nd = nchan generalized estimator
         s1 = jnp.sum(cells, axis=-1)  # [nchan, npol, nblk]
         s2 = jnp.sum(cells * cells, axis=-1)
         s1f = jnp.sum(s1, axis=0)  # [npol, nblk]
         s2f = jnp.sum(s2, axis=0)
+        if axis_name is not None:
+            # channel-sharded: pool the whole band over the mesh axis so
+            # the generalized estimator uses the global Nd
+            s1f = jax.lax.psum(s1f, axis_name)
+            s2f = jax.lax.psum(s2f, axis_name)
         Mf = float(M)
-        nd = float(nchan)
+        nd = float(nchan_total if axis_name is not None else nchan)
         sk_f = ((Mf * nd + 1.0) / (Mf * nd - 1.0)) * (
             Mf * nd * s2f / jnp.maximum(s1f * s1f, 1e-30) - 1.0)
         one_std = np.sqrt(4.0 / (M * nd))
@@ -124,9 +139,13 @@ def sk_mask(power: jnp.ndarray, plan: SKPlan, nblk: int) -> jnp.ndarray:
 
     if plan.chan_start or plan.chan_end:
         # excision limited to the channel range where signal is expected
-        # (reference SKDetector channel range, --skz_start/--skz_end)
-        end = plan.chan_end or nchan
+        # (reference SKDetector channel range, --skz_start/--skz_end);
+        # under channel sharding the range is in GLOBAL channel indices
+        end = plan.chan_end or (nchan_total if axis_name is not None
+                                else nchan)
         ix = jnp.arange(nchan)
+        if chan_offset is not None:
+            ix = ix + chan_offset
         in_range = jnp.logical_and(ix >= plan.chan_start, ix < end)
         w = jnp.where(in_range[:, None], w, 1.0)
 

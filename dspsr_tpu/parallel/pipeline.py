@@ -232,7 +232,7 @@ class ShardedFoldPipeline:
         n_time = self.n_time
         halo_b = self.halo_bytes // self.n_chan
 
-        def local(profiles, hits, raw, tail, phi0, dphi, sel, gr, gi):
+        def local(profiles, hits, raw, tail, phi0, dphi, bounds, gr, gi):
             raw, tail = raw[0, 0], tail[0, 0]
             phi0, dphi = phi0[0], dphi[0]
             if halo_b:
@@ -245,12 +245,13 @@ class ShardedFoldPipeline:
                 ti = jax.lax.axis_index("time")
                 halo = jnp.where(ti == n_time - 1, tail, from_right)
                 raw = jnp.concatenate([raw, halo])
+            # per-shard sample-exact fold span (TimeDivide bounds): a
+            # shard outside the current division gets [0, 0)
             dprof, dhits = self._chan_step(
                 jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
-                phi0, dphi, gr, gi)
-            s = sel[0, 0]
-            dprof = jax.lax.psum(dprof * s, "time")
-            dhits = jax.lax.psum(dhits * s, "time")
+                phi0, dphi, gr, gi, bounds[0])
+            dprof = jax.lax.psum(dprof, "time")
+            dhits = jax.lax.psum(dhits, "time")
             return profiles + dprof, hits + dhits
 
         sm = shard_map(
@@ -269,7 +270,7 @@ class ShardedFoldPipeline:
         n_time, n_chan = self.n_time, self.n_chan
         halo_b = self.halo_bytes
 
-        def local(profiles, hits, raw, tail, phi0, dphi, sel):
+        def local(profiles, hits, raw, tail, phi0, dphi, bounds):
             raw, tail = raw[0], tail[0]
             phi0, dphi = phi0[0], dphi[0]
             if halo_b:
@@ -281,24 +282,26 @@ class ShardedFoldPipeline:
                 ti = jax.lax.axis_index("time")
                 halo = jnp.where(ti == n_time - 1, tail, from_right)
                 raw = jnp.concatenate([raw, halo])
+            # per-shard sample-exact fold span (TimeDivide bounds,
+            # matching the single pipeline's mid-block splits): a shard
+            # entirely outside the current division gets [0, 0) and
+            # contributes zero; a boundary shard folds exactly its
+            # division's samples
+            b = bounds[0]
             if self.mega or self.megask:
                 # each time shard runs the fused Pallas megakernel on its
                 # stripe; accumulators reduce exactly like the op chain
                 dprof, dhits = inner._megastep(
                     jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
-                    phi0, dphi)
+                    phi0, dphi, b)
             else:
                 ci = jax.lax.axis_index("chan")
                 dprof, dhits = inner._step_core(
                     jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
-                    phi0, dphi, chan_ix=ci, n_chan_shards=n_chan)
-            # per-shard division selection (TimeDivide at block granularity,
-            # matching the single pipeline's between-block boundaries): a
-            # shard outside the current division contributes zero
-            s = sel[0, 0]
+                    phi0, dphi, chan_ix=ci, n_chan_shards=n_chan, bounds=b)
             # PhaseSeries::combine across the time shards
-            dprof = jax.lax.psum(dprof * s, "time")
-            dhits = jax.lax.psum(dhits * s, "time")
+            dprof = jax.lax.psum(dprof, "time")
+            dhits = jax.lax.psum(dhits, "time")
             return profiles + dprof, hits + dhits
 
         sm = shard_map(
@@ -390,18 +393,6 @@ class ShardedFoldPipeline:
             tail_rows[-1] = src.read_samples(*tail)
         return rows, tail_rows
 
-    def _division_index(self, t: MJD) -> int:
-        cfg = self.config
-        ref = self._first_out_time
-        if ref is None:
-            return 0
-        if cfg.subint_turns > 0:
-            dphi = self.inner.predictor.phase(t) - self.inner.predictor.phase(ref)
-            return int(dphi / cfg.subint_turns)
-        if cfg.subint_seconds <= 0:
-            return 0
-        return int((t - ref) / cfg.subint_seconds)
-
     def _flush_division(self):
         if self._div_samples == 0:
             return
@@ -439,6 +430,31 @@ class ShardedFoldPipeline:
         nuse_pad = -(-inner.out_per_block // seg) * seg
         nuse = inner.out_per_block
         nseg = nuse_pad // seg
+
+        # SAMPLE-EXACT sub-integration divider (TimeDivide/SubFold): a
+        # -L/--turns boundary may land mid-shard, in which case the
+        # superblock is folded once per division with per-shard
+        # [lo, hi) bounds — identical semantics to the single pipeline's
+        # mid-block splits (Signal/Pulsar/TimeDivide.C:132-257)
+        divider = None
+        if cfg.subint_seconds > 0 or cfg.subint_turns > 0:
+            from ..timing.timedivide import TimeDivide
+
+            lep = cfg.integration_reference_epoch
+            divider = TimeDivide(
+                rate=inner.obs_out.rate,
+                start_time=inner.output_start_time(seek),
+                seconds=cfg.subint_seconds, turns=cfg.subint_turns,
+                predictor=inner.predictor,
+                reference_phase=cfg.reference_phase,
+                reference_epoch=(MJD.from_mjd(lep) if lep else None),
+                fractional_pulses=cfg.fractional_pulses)
+            if (self.mega or self.mega_chan) and nuse >= (1 << 24):
+                raise ValueError(
+                    "sub-integration bounds need out_per_block < 2^24 on "
+                    "the fused path; reduce the block size")
+
+        out_off = 0
         start = seek
         nsb = 0
         while start + self.superblock_samples <= nsamp_total:
@@ -446,13 +462,6 @@ class ShardedFoldPipeline:
                    for i in range(self.n_time)]
             if self._first_out_time is None:
                 self._first_out_time = t0s[0]
-            # exact subint division at BLOCK granularity (each shard is one
-            # block): a -L/--turns boundary may land mid-superblock, in
-            # which case the superblock is folded once per division with a
-            # per-shard selection weight — matching the single pipeline's
-            # between-block TimeDivide decisions exactly
-            # (Signal/Pulsar/TimeDivide.C)
-            divs = [self._division_index(t) for t in t0s]
 
             rows, tail_rows = self._read_superblock(start)
             if cfg.digitizer_stats and inner.obs_in.nbit <= 8:
@@ -496,23 +505,50 @@ class ShardedFoldPipeline:
             phi0_d = self._commit(phi0, P("time"))
             dphi_d = self._commit(dphi, P("time"))
             # fold once per division present in this superblock (one
-            # dispatch in the common boundary-free case)
-            for v in sorted(set(divs)):
-                if v != self._current_div:
-                    self._flush_division()
-                    self._current_div = v
-                mask = np.array([[1.0 if d == v else 0.0] for d in divs],
-                                np.float32)
+            # dispatch in the common boundary-free case), each shard
+            # bounded to exactly its division's samples
+            if divider is None:
+                passes = [(0, None)]
+            else:
+                shard_segs = [divider.segments(out_off + i * nuse, nuse)
+                              for i in range(self.n_time)]
+                present = sorted({dv for segs in shard_segs
+                                  for (_, _, dv) in segs if dv >= 0})
+                passes = [(v, shard_segs) for v in present]
+            for v, segs in passes:
+                if segs is None:
+                    bounds = np.broadcast_to(
+                        np.array([0, nuse], np.int32),
+                        (self.n_time, 2)).copy()
+                    nfold = nuse * self.n_time
+                else:
+                    bounds = np.zeros((self.n_time, 2), np.int32)
+                    nfold = 0
+                    first_sample = None
+                    for i, ss in enumerate(segs):
+                        for (lo, hi, dv) in ss:
+                            if dv == v:
+                                bounds[i] = (lo, hi)
+                                nfold += hi - lo
+                                if first_sample is None:
+                                    first_sample = out_off + i * nuse + lo
+                    if v != self._current_div:
+                        self._flush_division()
+                        self._current_div = v
+                    if self._div_first_time is None:
+                        self._div_first_time = divider.epoch_of(first_sample)
                 step_args = [self._profiles, self._hits, rows_d, tail_d,
-                             phi0_d, dphi_d, self._commit(mask, P("time"))]
+                             phi0_d, dphi_d,
+                             self._commit(bounds, P("time"))]
                 if self.mega_chan:
                     step_args += [self._gr_d, self._gi_d]
                 self._profiles, self._hits = self._step(*step_args)
-                if self._div_first_time is None:
-                    self._div_first_time = t0s[divs.index(v)]
-                self._div_samples += nuse * int(mask.sum())
+                if segs is None and self._div_first_time is None:
+                    self._div_first_time = t0s[0]
+                self._div_samples += nfold
 
             self._last_out_time = t0s[-1] + nuse * tsamp_out
+            out_off += nuse * self.n_time
             start += self.superblock_stride
             nsb += 1
             if max_superblocks is not None and nsb >= max_superblocks:

@@ -123,6 +123,24 @@ def test_parity_spectral_kurtosis(tmp_path):
             n_time=4, n_chan=1)
 
 
+def test_parity_spectral_kurtosis_chan_sharded(tmp_path):
+    """SK under CHANNEL sharding: the fscr round psums S1/S2 over the
+    mesh chan axis so its thresholds use the GLOBAL Nd — identical
+    excision to the single run (removes the local-Nd deviation recorded
+    in PARITY.md r4; reference detect_fscr pools the whole band,
+    SpectralKurtosis.C)."""
+    _parity(tmp_path, _obs(), _cfg(sk_enable=True, sk_m=64),
+            n_time=2, n_chan=2)
+
+
+def test_parity_sk_chan_sharded_with_rfi_burst(tmp_path):
+    """A saturated burst that only the GLOBAL fscr threshold catches the
+    same way: chan-sharded excision weights equal the single run's."""
+    res_n, res_1 = _parity(tmp_path, _obs(), _cfg(sk_enable=True, sk_m=64),
+                           n_time=2, n_chan=2, rfi_stretch=(20000, 24000))
+    assert res_1.hits.max() > 0
+
+
 def test_parity_rfi_filter(tmp_path):
     """rfi_filter under sharding runs the XLA chain's same-block zap per
     shard (the fused filter's per-block response state is not threaded by
@@ -159,7 +177,13 @@ def test_parity_subints_aligned(tmp_path):
     cfg = _cfg(subint_seconds=sb_seconds)
     res_n, res_1 = _parity(tmp_path, obs, cfg, n_time=4, n_chan=1,
                            nsuper=3, name="s.raw")
-    assert res_n.profiles.shape[0] == 3
+    # sample-exact boundaries at 0.98/1.96/2.94 superblocks: three full
+    # divisions plus the trailing 0.06-superblock sliver
+    assert res_n.profiles.shape[0] == 4
+    rate_out = res_n.obs.rate
+    for k in range(3):
+        assert abs(res_n.integration_length[k]
+                   - sb_seconds) <= 1.0 / rate_out
 
 
 def test_parity_subints_misaligned(tmp_path):
