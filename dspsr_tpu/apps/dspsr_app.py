@@ -221,9 +221,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted; SK runs inside the device program, no "
                         "CPU thread pool exists (reference -skzn)")
     p.add_argument("--noskz_too", action="store_true",
-                   help="accepted with a warning; only the zapped output "
-                        "is produced on this runtime (reference "
-                        "-noskz_too)")
+                   help="also fold the un-zapped (pre-SK) stream and "
+                        "write it as <output>.nosk (reference -noskz_too "
+                        "-> presk_fold fork + '.nosk' Archiver)")
     p.add_argument("--skz_no_ft", action="store_true",
                    help="accepted with a warning; no despeckeler is "
                         "implemented (reference -skz_no_ft)")
@@ -391,9 +391,6 @@ def main(argv=None) -> int:
     if args.skzn is not None:
         note("-skzn ignored: SK runs inside the device program, there is "
              "no CPU thread pool")
-    if args.noskz_too:
-        note("-noskz_too not supported: only the SK-zapped output is "
-             "produced")
     if args.skz_no_ft:
         note("-skz_no_ft is a no-op: no despeckeler is implemented")
     if args.sk_fold:
@@ -468,6 +465,7 @@ def main(argv=None) -> int:
         sk_no_fscr=args.skz_no_fscr,
         sk_chan_start=args.skz_start,
         sk_chan_end=args.skz_end,
+        sk_also_unzapped=args.noskz_too,
         seek_seconds=args.seek,
         interchannel_align=args.interchannel_align,
         fourth_moment=args.fourth_moment,
@@ -574,8 +572,14 @@ def main(argv=None) -> int:
             _run_jobs(args, out)
         for i, extra in enumerate(res.extra_sources or []):
             root, dot, e2 = out.rpartition(".")
-            p2 = (f"{root}_src{i + 1}{dot}{e2}" if dot
-                  else f"{out}_src{i + 1}")
+            if extra.label:
+                # -noskz_too: the un-zapped fold takes the reference's
+                # ".nosk" extension convention
+                p2 = (f"{root}.{extra.label}{dot}{e2}" if dot
+                      else f"{out}.{extra.label}")
+            else:
+                p2 = (f"{root}_src{i + 1}{dot}{e2}" if dot
+                      else f"{out}_src{i + 1}")
             save_archive(p2, extra)
             _run_jobs(args, p2)
         if not args.quiet:

@@ -174,6 +174,10 @@ class FoldConfig:
     sk_no_fscr: bool = False  # --skz_no_fscr
     sk_chan_start: int = 0  # --skz_start: first channel with signal
     sk_chan_end: int = 0  # --skz_end: last channel (exclusive; 0 = band end)
+    #: -noskz_too: ALSO fold the un-zapped (pre-SK) stream and return it
+    #: as an extra FoldResult labeled "nosk" (reference presk_fold fork +
+    #: ".nosk" Archiver, LoadToFold1.C:458-501)
+    sk_also_unzapped: bool = False
 
     def detection_state(self) -> Signal:
         if self.detection:
@@ -209,6 +213,9 @@ class FoldResult:
     digitizer_counts: Optional[np.ndarray] = None
     #: FoldResults of the additional pulsars folded in the same pass
     extra_sources: Optional[list] = None
+    #: output tag for extra results ("nosk" for the -noskz_too un-zapped
+    #: fold, used as the archive extension; None for additional pulsars)
+    label: Optional[str] = None
     #: integrated pre-response bandpass [nchan, npol, freq_res]
     #: (reference Passband extension source)
     passband: Optional[np.ndarray] = None
@@ -374,6 +381,15 @@ class FoldPipeline:
         self.predictors = [self.predictor]
         for spec in (cfg.additional_pulsars or ()):
             self.predictors.append(self._make_predictor(spec))
+        #: -noskz_too: the un-zapped fold is a SECOND fold sharing the
+        #: primary predictor, fed the pre-SK weights (the reference forks
+        #: the pre-SK stream into its own Fold + ".nosk" Archiver,
+        #: LoadToFold1.C:458-501); it reuses the multi-source accumulator
+        #: machinery end to end
+        self._presk_index = None
+        if cfg.sk_enable and cfg.sk_also_unzapped:
+            self._presk_index = len(self.predictors)
+            self.predictors.append(self.predictor)
 
         if self.ephemeris is not None and not obs.coordinates:
             raj = self.ephemeris.get("RAJ")
@@ -630,6 +646,8 @@ class FoldPipeline:
         self.source_dms = [None]
         for spec in (cfg.additional_pulsars or ()):
             self.source_dms.append(self._source_dm(spec))
+        if self._presk_index is not None:
+            self.source_dms.append(None)
 
         # --- megakernel fast path (ops.megakernel) ---
         # mega_mode: None (XLA chain) | "full" (everything incl. the fold in
@@ -1353,6 +1371,11 @@ class FoldPipeline:
             idx = jnp.arange(ndat_out, dtype=jnp.int32)
             span = jnp.logical_and(idx >= bounds[0], idx < bounds[1])
             weights = weights * span.astype(jnp.float32)[None, :]
+        w_presk = None
+        if self._presk_index is not None:
+            # -noskz_too: the un-zapped fold uses the weights BEFORE the
+            # SK mask (base excision + division bounds only)
+            w_presk = weights
         if self.sk_plan is not None:
             nblk = ndat_out // self.sk_plan.M
             if sk_ctx is not None:
@@ -1378,12 +1401,20 @@ class FoldPipeline:
             weights = jnp.concatenate(
                 [weights, jnp.zeros((weights.shape[0], pad), jnp.float32)],
                 axis=-1)
+            if w_presk is not None:
+                w_presk = jnp.concatenate(
+                    [w_presk,
+                     jnp.zeros((w_presk.shape[0], pad), jnp.float32)],
+                    axis=-1)
         if isinstance(profiles, (tuple, list)):
             # multi-pulsar: one fold per source over the shared detected
-            # stream, each with ITS OWN nbin (phi0/dphi are [nsrc, nseg])
+            # stream, each with ITS OWN nbin (phi0/dphi are [nsrc, nseg]);
+            # the -noskz_too pseudo-source folds the pre-SK weights
             ps, hs = [], []
             for s in range(len(profiles)):
-                p_, h_ = fold_block(profiles[s], hits[s], d, weights,
+                w_s = (w_presk if s == self._presk_index
+                       and w_presk is not None else weights)
+                p_, h_ = fold_block(profiles[s], hits[s], d, w_s,
                                     phi0[s], dphi[s], self.fold_plans[s])
                 ps.append(p_)
                 hs.append(h_)
@@ -1741,8 +1772,10 @@ class FoldPipeline:
         nsrc = len(self.predictors)
         multi = nsrc > 1 and self.mega_mode != "full"
 
-        def result(profs, hits, predictor, extras=None, nbin=None, dm=None):
+        def result(profs, hits, predictor, extras=None, nbin=None, dm=None,
+                   label=None):
             return FoldResult(
+                label=label,
                 profiles=profs,
                 hits=hits,
                 epochs=[s[2] for s in self._subints],
@@ -1793,9 +1826,10 @@ class FoldPipeline:
         extras = []
         for s in range(1, nsrc):
             ps, hs = src_stacks(s)
-            extras.append(result(ps, hs, self.predictors[s],
-                                 nbin=self.nbins[s],
-                                 dm=self.source_dms[s]))
+            extras.append(result(
+                ps, hs, self.predictors[s], nbin=self.nbins[s],
+                dm=self.source_dms[s],
+                label="nosk" if s == self._presk_index else None))
         p0, h0 = src_stacks(0)
         return result(p0, h0, self.predictors[0], extras=extras)
 

@@ -90,6 +90,10 @@ class ShardedFoldPipeline:
             raise NotImplementedError(
                 "multi-pulsar folding not supported sharded: accumulators "
                 "are 3-D per shard (use FoldPipeline for --pulsar)")
+        if cfg.sk_also_unzapped:
+            raise NotImplementedError(
+                "-noskz_too not supported sharded (multi-accumulator fold;"
+                " use FoldPipeline)")
         if cfg.passband:
             raise NotImplementedError(
                 "passband integration not supported sharded "

@@ -136,6 +136,39 @@ class TestPipelineIntegration:
         avg_sk = res_sk.profiles[0, ch].sum() / max(res_sk.hits[0, ch].sum(), 1)
         assert avg_sk < 0.5 * avg_no, (avg_sk, avg_no)
 
+    def test_noskz_too_folds_unzapped_fork(self, tmp_path):
+        """-noskz_too: the pre-SK stream folds into an extra 'nosk'
+        result (reference presk_fold fork + '.nosk' Archiver,
+        LoadToFold1.C:458-501): it matches the SK-free run exactly, while
+        the primary result is the SK-zapped fold."""
+        path = str(tmp_path / "nosk.dada")
+        synth_pulsar_dada(path, nsec=0.2, seed=3, amp=0.0)
+        nrfi = 40960
+        t = np.arange(nrfi)
+        gate = (t // 64) % 2
+        tfp = np.zeros((nrfi, 2, 2))
+        tfp[:, :, 0] = (60.0 * np.cos(2 * np.pi * 0.125 * t) * gate)[:, None]
+        tfp[:, :, 1] = (60.0 * np.sin(2 * np.pi * 0.125 * t) * gate)[:, None]
+        q = np.clip(np.round(tfp + 127.0), 0, 255).astype(np.uint8)
+        with open(path, "r+b") as f:
+            f.seek(4096 + 4 * (int(0.2 * RATE) // 3))
+            f.write(q.tobytes())
+
+        base = dict(folding_period=PERIOD, dispersion_measure=DM,
+                    nchan=4, block_parts=2)
+        res = load_to_fold(path, FoldConfig(**base, sk_enable=True,
+                                            sk_no_tscr=True,
+                                            sk_also_unzapped=True))
+        assert res.extra_sources and res.extra_sources[0].label == "nosk"
+        nosk = res.extra_sources[0]
+        plain = load_to_fold(path, FoldConfig(**base))
+        # un-zapped fork == the SK-free run, bit-for-bit bookkeeping
+        np.testing.assert_allclose(nosk.hits, plain.hits, rtol=0, atol=0)
+        np.testing.assert_allclose(nosk.profiles, plain.profiles,
+                                   rtol=1e-6, atol=1e-3)
+        # primary (zapped) dropped the RFI samples the fork kept
+        assert res.hits.sum() < nosk.hits.sum()
+
     def test_sk_keeps_weak_pulsar(self, tmp_path):
         """A weak pulsar survives SK excision (pulse not zapped away)."""
         path = str(tmp_path / "weak.dada")
