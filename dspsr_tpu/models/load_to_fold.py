@@ -873,7 +873,7 @@ class FoldPipeline:
             return "detected", 2, "auto"
         return "detected", 1, "auto"
 
-    def _build_hybrid_step(self, front_plan, cstf):
+    def _build_hybrid_step(self, front_plan, cstf, chan_sharded=False):
         """Fused front end + the general XLA tail, ONE jit program.
 
         The megafil kernel computes unpack -> forward FFT -> response
@@ -899,15 +899,18 @@ class FoldPipeline:
         """
         from ..ops.megakernel import build_megafil, permute_response
 
-        mp = self.mega_plan
         mode, _, _ = self._hybrid_front_mode()
-        rfi_fused = bool(self.config.rfi_filter)
+        rfi_fused = bool(self.config.rfi_filter) and not chan_sharded
         front = build_megafil(front_plan, cstf, self.npart,
                               return_weights=True, output=mode,
                               passband=self.config.passband or rfi_fused,
-                              response_as_args=rfi_fused)
-        nsub, nkeep, npart = mp.nsub, mp.nkeep, self.npart
-        nchan_out = self.obs_in.nchan * nsub
+                              response_as_args=rfi_fused or chan_sharded)
+        # geometry from the (possibly channel-LOCAL) front plan: a
+        # channel-sharded shard_map builds one step over its local
+        # channel group (parallel.pipeline chan-sharded hybrid mode)
+        nsub, nkeep, npart = front_plan.nsub, front_plan.nkeep, self.npart
+        nchan_out = front_plan.nchan_in * nsub
+        nchan_out_total = self.obs_in.nchan * nsub
         ndat_out = npart * nkeep
         want_pb = self.config.passband
         det_state = self.det_state
@@ -957,12 +960,26 @@ class FoldPipeline:
                 tail = _tail(profiles, hits, out, phi0, dphi, bounds)
                 gr2, gi2 = next_response(out[2])
                 return (*tail, gr2, gi2)
+        elif chan_sharded:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None,
+                     chan_ix=None):
+                """Channel-LOCAL step for a shard_map over a "chan" mesh
+                axis: the chirp pair rides in chan-sharded; the SK fscr
+                round psums over "chan" (global-Nd thresholds) and
+                --skz_start/end gates in global channel indices."""
+                return _tail(profiles, hits, front(raw, gr, gi),
+                             phi0, dphi, bounds, chan_ix)
         else:
             @partial(jax.jit, donate_argnums=(0, 1))
             def step(profiles, hits, raw, phi0, dphi, bounds=None):
-                return _tail(profiles, hits, front(raw), phi0, dphi, bounds)
+                return _tail(profiles, hits, front(raw), phi0, dphi,
+                             bounds)
 
-        def _tail(profiles, hits, out, phi0, dphi, bounds=None):
+        def _tail(profiles, hits, out, phi0, dphi, bounds=None,
+                  chan_ix=None):
+            sk_ctx = (("chan", nchan_out_total, chan_ix * nchan_out)
+                      if chan_ix is not None else None)
             data, wwin = out[0], out[1]
             pb = out[2] if want_pb else None
             # per-window excision weights broadcast over each window's
@@ -973,7 +990,8 @@ class FoldPipeline:
             ).reshape(nchan_out, ndat_out)
             if mode == "voltage":
                 return self._fold_tail(profiles, hits, data, weights,
-                                       phi0, dphi, pb=pb, bounds=bounds)
+                                       phi0, dphi, pb=pb, bounds=bounds,
+                                       sk_ctx=sk_ctx)
             # detected front: convert the front planes to the target state
             # (Detection.C:42-66 conventions; stokes_detect.ic)
             P = data
@@ -997,7 +1015,7 @@ class FoldPipeline:
             return self._fold_tail_d(
                 profiles, hits, d,
                 power if self.sk_plan is not None else None,
-                weights, phi0, dphi, pb=pb, bounds=bounds)
+                weights, phi0, dphi, pb=pb, bounds=bounds, sk_ctx=sk_ctx)
 
         return step
 

@@ -113,6 +113,14 @@ class ShardedFoldPipeline:
         #: XLA chan path instead replicates the forward FFT and slices
         #: the spectrum)
         self.mega_chan = False
+        #: channel-sharded HYBRID mode (r5): a hybrid-eligible config
+        #: (in-stream SK, cyclic folds, detection-state tails) under chan
+        #: sharding runs a channel-LOCAL megafil front end per
+        #: (time, chan) shard — chirp as a chan-sharded traced argument —
+        #: with the local XLA tail; the SK fscr round psums over "chan"
+        #: so thresholds use the global Nd.  (Jones responses stay on the
+        #: XLA chan path: their 4 response planes are closure constants.)
+        self.hybrid_chan = False
         obs0 = source.obs
         if (self.n_chan > 1 and cfg.use_megakernel
                 and obs0.nchan % self.n_chan == 0
@@ -121,7 +129,12 @@ class ShardedFoldPipeline:
             if probe.mega_mode == "full":
                 self.inner = probe
                 self.mega_chan = True
-        if not self.mega_chan:
+            elif (probe.mega_mode == "hybrid"
+                  and probe._jones_natural is None
+                  and probe._rfi_resp is None):
+                self.inner = probe
+                self.hybrid_chan = True
+        if not (self.mega_chan or self.hybrid_chan):
             if self.n_chan > 1:
                 cfg = dataclasses.replace(cfg, use_megakernel=False)
             self.inner = FoldPipeline(source, cfg)
@@ -129,8 +142,11 @@ class ShardedFoldPipeline:
                 raise AssertionError("mega plan engaged despite chan sharding")
         #: fused-fold variant (mega accumulator layout) vs fused hybrid
         #: variant (megafil front end + XLA tail, STANDARD layout)
-        self.megask = self.inner.mega_mode == "hybrid"
+        self.megask = self.inner.mega_mode == "hybrid" \
+            and not self.hybrid_chan
         self.mega = self.inner.mega_mode == "full"
+        #: shard raw bytes as per-(time, chan) channel groups
+        self.chan_grouped = self.mega_chan or self.hybrid_chan
         self.config = cfg
         self.source = source
 
@@ -158,8 +174,12 @@ class ShardedFoldPipeline:
 
         if self.mega_chan:
             self._setup_chan_mega()
-        self._step = (self._build_step_chan_mega() if self.mega_chan
-                      else self._build_step())
+            self._step = self._build_step_chan_mega()
+        elif self.hybrid_chan:
+            self._setup_chan_hybrid()
+            self._step = self._build_step_chan_hybrid()
+        else:
+            self._step = self._build_step()
         nchan, npol = inner.obs_out.nchan, inner.obs_out.npol
         if self.mega:
             self._profiles = self._commit(np.zeros(
@@ -222,6 +242,85 @@ class ShardedFoldPipeline:
                                  window=win)
         self._gr_d = self._commit(np.asarray(cst_full.gr), P("chan"))
         self._gi_d = self._commit(np.asarray(cst_full.gi), P("chan"))
+
+    def _setup_chan_hybrid(self):
+        """Channel-LOCAL hybrid step for the chan-sharded mesh: the
+        megafil front end runs per (time, chan) shard on its own input
+        channel group with the chirp as a chan-sharded traced argument,
+        and the SAME XLA tail (detect/cyclic/SK/fold) finishes locally —
+        the SK fscr round psums over the "chan" axis (global Nd)."""
+        import os as _os
+
+        from ..ops.apodization import WindowType, build_window
+        from ..ops.megakernel import MegaConstants, unpack_affine
+
+        inner = self.inner
+        obs = inner.obs_in
+        mp = inner.mega_plan
+        self.local_nchan = obs.nchan // self.n_chan
+        self.bpc = (obs.npol * obs.ndim * obs.nbit) // 8
+        _, np_out, det_tag = inner._hybrid_front_mode()
+        fp_local = dataclasses.replace(
+            mp, nchan_in=self.local_nchan, npol_out=np_out,
+            detection=det_tag, fourth_moment=False)
+        if mp.npw:
+            scale, offset = 1.0, 0.0
+        else:
+            scale, offset = unpack_affine(
+                obs.nbit, inner.unpack_plan.twos_complement)
+        win = (build_window(WindowType(self.config.fft_window),
+                            mp.nsamp_fft)
+               if self.config.fft_window else None)
+        dt = {"f32": np.float32, "bf16": jnp.bfloat16}[
+            _os.environ.get("DSPSR_TPU_MEGA_DTYPE", "f32")]
+        cst_local = MegaConstants(fp_local, None, dtype=dt,
+                                  unpack_scale=scale, unpack_offset=offset,
+                                  twobit=inner.unpack_plan.twobit,
+                                  window=win)
+        self._chan_step = inner._build_hybrid_step(
+            fp_local, cst_local, chan_sharded=True)
+        # the per-channel chirp of the FULL band, chan-sharded so each
+        # shard's traced (gr, gi) carries exactly its group's response
+        resp = inner.kernel.phasors if inner.kernel is not None else None
+        cst_full = MegaConstants(mp, resp, dtype=dt, unpack_scale=scale,
+                                 unpack_offset=offset,
+                                 twobit=inner.unpack_plan.twobit,
+                                 window=win)
+        self._gr_d = self._commit(np.asarray(cst_full.gr), P("chan"))
+        self._gi_d = self._commit(np.asarray(cst_full.gi), P("chan"))
+
+    def _build_step_chan_hybrid(self):
+        n_time = self.n_time
+        halo_b = self.halo_bytes // self.n_chan
+
+        def local(profiles, hits, raw, tail, phi0, dphi, bounds, gr, gi):
+            raw, tail = raw[0, 0], tail[0, 0]
+            phi0, dphi = phi0[0], dphi[0]
+            if halo_b:
+                head = raw[:halo_b]
+                perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+                from_right = jax.lax.ppermute(head, "time", perm)
+                ti = jax.lax.axis_index("time")
+                halo = jnp.where(ti == n_time - 1, tail, from_right)
+                raw = jnp.concatenate([raw, halo])
+            ci = jax.lax.axis_index("chan")
+            dprof, dhits = self._chan_step(
+                jnp.zeros_like(profiles), jnp.zeros_like(hits), raw,
+                phi0, dphi, gr, gi, bounds[0], ci)
+            dprof = jax.lax.psum(dprof, "time")
+            dhits = jax.lax.psum(dhits, "time")
+            return profiles + dprof, hits + dhits
+
+        sm = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P("chan"), P("chan"), P("time", "chan"),
+                      P("time", "chan"), P("time"), P("time"), P("time"),
+                      P("chan"), P("chan")),
+            out_specs=(P("chan"), P("chan")),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=(0, 1))
 
     def _split_chan_groups(self, row: np.ndarray) -> np.ndarray:
         """One stripe's TFP bytes -> [n_chan, local_bytes] channel-group
@@ -371,7 +470,7 @@ class ShardedFoldPipeline:
         stripes, tail = self.host_stripe_layout(sb_start)
         local = set(self.local_time_shards()) if self.distributed \
             else set(range(self.n_time))
-        if self.mega_chan:
+        if self.chan_grouped:
             # [n_time, n_chan, bytes]: each (time, chan) shard gets only
             # ITS channel group's bytes (host de-interleave; the MPITrans
             # channel scatter happens at read time, no device collective)
@@ -478,7 +577,7 @@ class ShardedFoldPipeline:
                 local = set(self.local_time_shards()) if self.distributed \
                     else set(range(self.n_time))
                 halo_per_row = (self.halo_bytes // self.n_chan
-                                if self.mega_chan else self.halo_bytes)
+                                if self.chan_grouped else self.halo_bytes)
                 for i in local:
                     self._byte_counts += np.bincount(rows[i].ravel(),
                                                      minlength=256)
@@ -491,7 +590,7 @@ class ShardedFoldPipeline:
                                 tail_rows[-1].ravel(), minlength=256)
                     elif (i + 1) in local:
                         head = (rows[i + 1][..., :halo_per_row]
-                                if self.mega_chan
+                                if self.chan_grouped
                                 else rows[i + 1][: self.halo_bytes])
                         self._byte_counts += np.bincount(
                             head.ravel(), minlength=256)
@@ -503,7 +602,7 @@ class ShardedFoldPipeline:
                 phi0[i] = (p0 - cfg.reference_phase) % 1.0
                 dphi[i] = dp
 
-            row_spec = P("time", "chan") if self.mega_chan else P("time")
+            row_spec = P("time", "chan") if self.chan_grouped else P("time")
             rows_d = self._commit(rows, row_spec)
             tail_d = self._commit(tail_rows, row_spec)
             phi0_d = self._commit(phi0, P("time"))
@@ -544,7 +643,7 @@ class ShardedFoldPipeline:
                 step_args = [self._profiles, self._hits, rows_d, tail_d,
                              phi0_d, dphi_d,
                              self._commit(bounds, P("time"))]
-                if self.mega_chan:
+                if self.chan_grouped:
                     step_args += [self._gr_d, self._gi_d]
                 self._profiles, self._hits = self._step(*step_args)
                 if segs is None and self._div_first_time is None:

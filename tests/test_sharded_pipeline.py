@@ -504,3 +504,76 @@ class TestShardedHybrid:
         scale = np.abs(res_1.profiles).max()
         assert np.abs(res_n.profiles - res_1.profiles).max() / scale < 2e-5
         np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
+
+
+def _obs_mc(nchan=2, nbit=8):
+    """Multi-channel complex observation (chan-shardable input groups)."""
+    return Observation(
+        nchan=nchan, npol=2, ndim=2, nbit=nbit, centre_frequency=1400.0,
+        bandwidth=-1.0, rate=RATE / nchan,
+        start_time=MJD.from_utc("2010-04-13-02:05:45"),
+        state=Signal.ANALYTIC, source="FAKE", telescope="PKS",
+        instrument="RAW")
+
+
+def _hybrid_chan_parity(tmp_path, cfg, name, nsuper=2):
+    """Sharded (2 time x 2 chan) FUSED-hybrid run vs the single-chip
+    HYBRID run on identical data."""
+    obs = _obs_mc()
+    mesh = make_mesh(4, 2)
+    probe = ShardedFoldPipeline(
+        RawFileSource(_write(tmp_path, name, 1 << 22), obs), cfg, mesh)
+    assert probe.hybrid_chan, "channel-sharded hybrid mode must engage"
+    total = nsuper * probe.superblock_stride + probe.inner.nsamp_overlap
+    path = _write(tmp_path, name,
+                  int(round(total * obs.nbytes_per_sample)))
+    sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+    res_n = sh.run()
+    single = FoldPipeline(RawFileSource(path, obs), cfg)
+    assert single.mega_mode == "hybrid"
+    res_1 = single.run()
+    assert res_n.profiles.shape == res_1.profiles.shape
+    scale = np.abs(res_1.profiles).max() + 1e-30
+    np.testing.assert_allclose(res_n.profiles / scale,
+                               res_1.profiles / scale, atol=5e-5)
+    np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
+    return sh, res_n, res_1
+
+
+def test_chan_sharded_hybrid_sk_fused(tmp_path):
+    """In-stream SK under CHANNEL sharding rides the FUSED path (r5:
+    previously the XLA chain): each (time, chan) shard runs a
+    channel-LOCAL megafil front + the local XLA tail, and the SK fscr
+    round psums S1/S2 over the chan axis (global-Nd thresholds) —
+    matching the single-chip hybrid run."""
+    cfg = _cfg(use_megakernel=True, nchan=8, frequency_resolution=128,
+               sk_enable=True, sk_m=64, digitizer_stats=False)
+    _hybrid_chan_parity(tmp_path, cfg, "hcsk.raw")
+
+
+def test_chan_sharded_hybrid_cyclic_fused(tmp_path):
+    """Cyclic folding under CHANNEL sharding on the fused voltage
+    hybrid front (r5)."""
+    cfg = _cfg(use_megakernel=True, nchan=8, frequency_resolution=128,
+               cyclic_nchan=4, digitizer_stats=False)
+    _hybrid_chan_parity(tmp_path, cfg, "hccy.raw")
+
+
+def test_chan_sharded_hybrid_sk_subints(tmp_path):
+    """Chan-sharded hybrid + sample-exact -L boundaries mid-shard."""
+    obs = _obs_mc()
+    mesh = make_mesh(4, 2)
+    base = _cfg(use_megakernel=True, nchan=8, frequency_resolution=128,
+                sk_enable=True, sk_m=64, digitizer_stats=False)
+    probe = ShardedFoldPipeline(
+        RawFileSource(_write(tmp_path, "hcsub.raw", 1 << 22), obs),
+        base, mesh)
+    sub = probe.inner.stride_in_samples / RATE * 1.3
+    cfg = dataclasses.replace(base, subint_seconds=sub)
+    sh, res_n, res_1 = _hybrid_chan_parity(tmp_path, cfg, "hcsub.raw",
+                                           nsuper=3)
+    assert res_n.profiles.shape[0] >= 3
+    np.testing.assert_allclose(res_n.integration_length,
+                               res_1.integration_length, rtol=1e-12)
+    for a, b in zip(res_n.epochs, res_1.epochs):
+        assert abs(a - b) < 1e-12
