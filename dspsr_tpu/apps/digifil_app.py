@@ -109,6 +109,9 @@ def main(argv=None) -> int:
         o = pipe.obs_out
         print(f"digifil-tpu: -> {args.output} nchan {o.nchan} npol {o.npol} "
               f"nbit {o.nbit} tsamp {1e6/o.rate:.3f} us", file=sys.stderr)
+        print("digifil-tpu: compiling device programs for this geometry "
+              "(a first run can take minutes; cached for re-runs)",
+              file=sys.stderr)
     pipe.run(args.output, total_seconds=args.total, format=fmt)
     return 0
 

@@ -533,6 +533,9 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"dspsr-tpu: mesh ({args.threads} time x "
                   f"{args.chan_shards} chan)", file=sys.stderr)
+            print("dspsr-tpu: compiling device programs for this geometry "
+                  "(a first run can take minutes; cached for re-runs)",
+                  file=sys.stderr)
         res = pipe.run()
         out = args.output or filename_epoch(res)
         save_archive(out, res)
@@ -545,6 +548,13 @@ def main(argv=None) -> int:
         print(f"dspsr-tpu: folding {pipe.nbin} bins, period {pipe.folding_period*1e3:.6f} ms, "
               f"DM {pipe.dm}, nchan_out {pipe.obs_out.nchan}", file=sys.stderr)
 
+    if not args.quiet:
+        # cold-compile can take minutes on a new geometry; say so instead
+        # of sitting silent (the persistent executable cache makes
+        # re-runs fast, utils/platform.enable_compilation_cache)
+        print("dspsr-tpu: compiling device programs for this geometry "
+              "(a first run can take minutes; cached for re-runs)",
+              file=sys.stderr)
     ipass = 0
     while True:
         res = pipe.run(total_seconds=args.total)
