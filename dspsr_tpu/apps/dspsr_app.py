@@ -140,6 +140,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rfi-threshold", type=float, default=4.0,
                    help="RFI filter: zap bins above this multiple of the "
                         "local median bandpass")
+    p.add_argument("--rfi-same-block", action="store_true",
+                   help="fused RFI: run the front twice per block to zap "
+                        "each block with its OWN mask (exact reference "
+                        "same-interval semantics at ~2x front cost; "
+                        "default carries the previous block's mask with "
+                        "a primed first block)")
     p.add_argument("--detect", default=None,
                    choices=["intensity", "ppqq", "pp", "qq", "coherence",
                             "stokes", "nthpower"],
@@ -458,6 +464,7 @@ def main(argv=None) -> int:
         rfi_filter=args.zap_rfi,
         rfi_median_width=args.rfi_median,
         rfi_threshold=args.rfi_threshold,
+        rfi_same_block=args.rfi_same_block,
         sk_enable=args.skz,
         sk_m=args.skzm,
         sk_std_devs=args.skzs,

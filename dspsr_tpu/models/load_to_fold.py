@@ -165,6 +165,13 @@ class FoldConfig:
     rfi_filter: bool = False
     rfi_median_width: int = 21
     rfi_threshold: float = 4.0
+    #: fused SAME-BLOCK zap: run the fused front twice per block (measure
+    #: the bandpass, then apply chirp x mask to the same block) instead of
+    #: carrying the previous block's mask as traced state.  ~2x the front
+    #: cost, exact reference same-interval semantics (RFIFilter.C), and
+    #: state-free — so the SHARDED pipeline can run RFI fused (each time
+    #: shard zaps its own block; previously the XLA-chain fallback)
+    rfi_same_block: bool = False
 
     # spectral kurtosis RFI excision (reference -skz / SKDetector config)
     sk_enable: bool = False
@@ -755,10 +762,13 @@ class FoldPipeline:
                     twobit=self.unpack_plan.twobit, window=win,
                     jones=self._jones_natural)
                 self._megastep = self._build_hybrid_step(front_plan, cstf)
-                if cfg.rfi_filter:
-                    # initial response = the bare chirp (mask of ones);
-                    # run() primes it with the first block's own mask
-                    # (same-block zap), then updates per block
+                if cfg.rfi_filter and not cfg.rfi_same_block:
+                    # carried mode: initial response = the bare chirp
+                    # (mask of ones); run() primes it with the first
+                    # block's own mask (same-block zap), then updates per
+                    # block.  Two-pass mode (rfi_same_block) is
+                    # state-free: the step measures and applies within
+                    # one program.
                     self._rfi_resp = (jnp.asarray(cstf.gr),
                                       jnp.asarray(cstf.gi))
                     self._rfi_primed = False
@@ -900,11 +910,19 @@ class FoldPipeline:
         from ..ops.megakernel import build_megafil, permute_response
 
         mode, _, _ = self._hybrid_front_mode()
-        rfi_fused = bool(self.config.rfi_filter) and not chan_sharded
+        # carried mode: each block applies the PREVIOUS block's mask as
+        # traced response state (first block primed).  two-pass mode
+        # (rfi_same_block): the front runs twice per block — measure the
+        # bandpass with the bare chirp, then apply chirp x mask to the
+        # SAME block (exact reference same-interval semantics,
+        # RFIFilter.C; state-free, so the sharded driver can use it)
+        rfi_on = bool(self.config.rfi_filter) and not chan_sharded
+        rfi_2pass = rfi_on and self.config.rfi_same_block
+        rfi_fused = rfi_on and not rfi_2pass
         front = build_megafil(front_plan, cstf, self.npart,
                               return_weights=True, output=mode,
-                              passband=self.config.passband or rfi_fused,
-                              response_as_args=rfi_fused or chan_sharded)
+                              passband=self.config.passband or rfi_on,
+                              response_as_args=rfi_on or chan_sharded)
         # geometry from the (possibly channel-LOCAL) front plan: a
         # channel-sharded shard_map builds one step over its local
         # channel group (parallel.pipeline chan-sharded hybrid mode)
@@ -917,7 +935,7 @@ class FoldPipeline:
         npol_in = self.obs_in.npol
         front_np = front_plan.npol_out
 
-        if rfi_fused:
+        if rfi_on:
             from ..ops.rfifilter import median_filter_freq
 
             nchan_in = self.obs_in.nchan
@@ -954,12 +972,24 @@ class FoldPipeline:
                 return permute_response(base_r * mask, base_i * mask,
                                         front_plan)
 
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None):
-                out = front(raw, gr, gi)
-                tail = _tail(profiles, hits, out, phi0, dphi, bounds)
-                gr2, gi2 = next_response(out[2])
-                return (*tail, gr2, gi2)
+            if rfi_2pass:
+                bare_gr = jnp.asarray(cstf.gr)
+                bare_gi = jnp.asarray(cstf.gi)
+
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def step(profiles, hits, raw, phi0, dphi, bounds=None):
+                    out1 = front(raw, bare_gr, bare_gi)
+                    gr2, gi2 = next_response(out1[2])
+                    out = front(raw, gr2, gi2)
+                    return _tail(profiles, hits, out, phi0, dphi, bounds)
+            else:
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def step(profiles, hits, raw, phi0, dphi, gr, gi,
+                         bounds=None):
+                    out = front(raw, gr, gi)
+                    tail = _tail(profiles, hits, out, phi0, dphi, bounds)
+                    gr2, gi2 = next_response(out[2])
+                    return (*tail, gr2, gi2)
         elif chan_sharded:
             @partial(jax.jit, donate_argnums=(0, 1))
             def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None,

@@ -98,11 +98,14 @@ class ShardedFoldPipeline:
             raise NotImplementedError(
                 "passband integration not supported sharded "
                 "(use FoldPipeline for --passband)")
-        if cfg.rfi_filter:
-            # the fused RFI filter threads per-block response state
-            # through the step, which the sharded driver does not carry;
-            # each shard runs the XLA chain's same-block zap instead
-            cfg = dataclasses.replace(cfg, use_megakernel=False)
+        if cfg.rfi_filter and cfg.use_megakernel:
+            # the carried-response fused RFI mode threads per-block state
+            # through the step, which the parallel time shards cannot
+            # order; the STATE-FREE two-pass mode (measure the bandpass,
+            # then zap the same block — the reference's same-interval
+            # semantics, RFIFilter.C) lets every shard run RFI fused
+            # (r5; previously an XLA-chain fallback)
+            cfg = dataclasses.replace(cfg, rfi_same_block=True)
         #: channel-sharded fused mode: when the fully-fused kernel is
         #: eligible and the chan axis divides the INPUT channels, each
         #: (time, chan) shard runs ONE compiled megastep on its own
@@ -131,7 +134,7 @@ class ShardedFoldPipeline:
                 self.mega_chan = True
             elif (probe.mega_mode == "hybrid"
                   and probe._jones_natural is None
-                  and probe._rfi_resp is None):
+                  and not cfg.rfi_filter):
                 self.inner = probe
                 self.hybrid_chan = True
         if not (self.mega_chan or self.hybrid_chan):

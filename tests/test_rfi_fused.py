@@ -302,3 +302,36 @@ def test_rfi_conv_xla_raises(tmp_path, monkeypatch):
                      min_block_samples=0, rfi_filter=True)
     with pytest.raises(NotImplementedError, match="filterbank"):
         FoldPipeline(RawFileSource(p, obs), cfg)
+
+
+def test_rfi_same_block_two_pass(tmp_path):
+    """rfi_same_block=True: the fused front runs twice per block
+    (measure the bandpass, then zap the SAME block) — the reference's
+    same-interval semantics, state-free (no carried response).  The tone
+    is excised; clean noise passes through untouched (mask of ones ==
+    the plain hybrid).  Bin-level equality with the XLA chain is NOT
+    asserted: the engines pool pols differently at the zap boundary
+    (XLA zaps per pol, the fused response slot is shared), so residuals
+    around the zapped bins legitimately differ."""
+    tone_frac = 0.44
+    path = _write(tmp_path, 1 << 16, tone_frac=tone_frac, tone_amp=60.0)
+    cfg2 = _config(rfi_filter=True, rfi_same_block=True)
+    pipe_h, on = _run(path, cfg2)
+    assert pipe_h.mega_mode == "hybrid"
+    assert pipe_h._rfi_resp is None  # state-free
+    _, off = _run(path, _config(rfi_filter=False))
+    mon = on.normalized().mean(axis=(0, 2, 3))
+    moff = off.normalized().mean(axis=(0, 2, 3))
+    tc = int(tone_frac * 8)
+    others = [c for c in range(8) if c != tc]
+    assert moff[tc] > 3.0 * np.median(moff[others])
+    assert mon[tc] < 0.35 * moff[tc]
+    np.testing.assert_allclose(mon[others], moff[others], rtol=0.05)
+    # clean noise: the mask stays all ones -> equals the plain hybrid
+    clean = _write(tmp_path, 1 << 16)
+    _, a = _run(clean, _config(rfi_filter=True, rfi_same_block=True,
+                               passband=True))
+    _, b = _run(clean, _config(rfi_filter=False, passband=True))
+    pa, pb = a.normalized(), b.normalized()
+    assert np.abs(pa - pb).max() / np.abs(pb).max() < 1e-5
+    np.testing.assert_allclose(a.hits, b.hits, rtol=0, atol=0)

@@ -143,10 +143,38 @@ def test_parity_sk_chan_sharded_with_rfi_burst(tmp_path):
 
 def test_parity_rfi_filter(tmp_path):
     """rfi_filter under sharding runs the XLA chain's same-block zap per
-    shard (the fused filter's per-block response state is not threaded by
-    the sharded driver) and matches the single XLA run."""
+    shard (with use_megakernel=False) and matches the single XLA run."""
     res_n, _ = _parity(tmp_path, _obs(), _cfg(rfi_filter=True),
                        n_time=4, n_chan=1)
+
+
+def test_parity_rfi_filter_fused_two_pass(tmp_path):
+    """RFI under TIME sharding rides the FUSED path (r5): the state-free
+    two-pass hybrid (measure the bandpass, zap the same block) runs per
+    shard and matches the SINGLE-chip two-pass hybrid run exactly — both
+    engines, both same-block semantics."""
+    obs = _obs()
+    cfg = _cfg(rfi_filter=True, use_megakernel=True,
+               frequency_resolution=128, digitizer_stats=False)
+    mesh = make_mesh(4, 1)
+    probe = ShardedFoldPipeline(
+        RawFileSource(_write(tmp_path, "rf2.raw", 1 << 22), obs), cfg, mesh)
+    assert probe.megask and probe.inner.mega_mode == "hybrid"
+    assert probe.config.rfi_same_block
+    total = 2 * probe.superblock_stride + probe.inner.nsamp_overlap
+    path = _write(tmp_path, "rf2.raw",
+                  int(round(total * obs.nbytes_per_sample)))
+    sh = ShardedFoldPipeline(RawFileSource(path, obs), cfg, mesh)
+    res_n = sh.run()
+    single = FoldPipeline(
+        RawFileSource(path, obs),
+        dataclasses.replace(cfg, rfi_same_block=True))
+    assert single.mega_mode == "hybrid"
+    res_1 = single.run()
+    scale = np.abs(res_1.profiles).max() + 1e-30
+    np.testing.assert_allclose(res_n.profiles / scale,
+                               res_1.profiles / scale, atol=2e-5)
+    np.testing.assert_allclose(res_n.hits, res_1.hits, atol=1e-3)
 
 
 def test_parity_jones_calibration(tmp_path):
