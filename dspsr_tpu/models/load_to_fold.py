@@ -769,8 +769,8 @@ class FoldPipeline:
                     # block.  Two-pass mode (rfi_same_block) is
                     # state-free: the step measures and applies within
                     # one program.
-                    self._rfi_resp = (jnp.asarray(cstf.gr),
-                                      jnp.asarray(cstf.gi))
+                    self._rfi_resp = (jnp.asarray(cstf.gr, jnp.float32),
+                                      jnp.asarray(cstf.gi, jnp.float32))
                     self._rfi_primed = False
             else:
                 cst = MegaConstants(self.mega_plan, resp, dtype=dt,
@@ -916,7 +916,8 @@ class FoldPipeline:
         # bandpass with the bare chirp, then apply chirp x mask to the
         # SAME block (exact reference same-interval semantics,
         # RFIFilter.C; state-free, so the sharded driver can use it)
-        rfi_on = bool(self.config.rfi_filter) and not chan_sharded
+        rfi_on = bool(self.config.rfi_filter) \
+            and (not chan_sharded or self.config.rfi_same_block)
         rfi_2pass = rfi_on and self.config.rfi_same_block
         rfi_fused = rfi_on and not rfi_2pass
         front = build_megafil(front_plan, cstf, self.npart,
@@ -938,30 +939,23 @@ class FoldPipeline:
         if rfi_on:
             from ..ops.rfifilter import median_filter_freq
 
-            nchan_in = self.obs_in.nchan
+            # the median runs across EACH input channel's own band, so
+            # the zap is channel-local — a chan-sharded shard computes
+            # exactly the single-chip mask for its channel group
+            nchan_in = front_plan.nchan_in
             fr = front_plan.freq_res
             width = self.config.rfi_median_width
             thresh = self.config.rfi_threshold
-            # natural-order chirp split pair [nchan_in, n_fft] (ones when
-            # no dedispersion): the base the zap mask multiplies into.
-            # With a Jones response the chirp is already pre-multiplied
-            # into the Jones planes (ops.polncal.jones_product), so the
-            # traced scalar slot carries the BARE mask (ResponseProduct).
-            if self.kernel is not None and self._jones_natural is None:
-                _flat = np.asarray(self.kernel.phasors).reshape(
-                    nchan_in, front_plan.n_fft)
-            else:
-                _flat = np.ones((nchan_in, front_plan.n_fft), np.complex128)
-            base_r = jnp.asarray(_flat.real, jnp.float32)
-            base_i = jnp.asarray(_flat.imag, jnp.float32)
 
-            def next_response(pb):
-                """Zap mask from the integrated pre-response bandpass ->
-                the next block's permuted response pair.  Median-filtered
+            def zap_mask_perm(pb):
+                """Zap mask from the integrated pre-response bandpass, in
+                the kernel's permuted [k1, k2] layout.  Median-filtered
                 bandpass thresholding per (input channel, pol) across the
                 channel's full band (ops.rfifilter semantics); a bin is
                 zapped when ANY pol trips (the response slot is shared
-                across pols)."""
+                across pols).  Real-valued, so ResponseProduct with any
+                base response is an elementwise multiply in either
+                domain."""
                 flat = jnp.transpose(
                     pb.reshape(nchan_in, nsub, npol_in, fr),
                     (0, 2, 1, 3)).reshape(nchan_in, npol_in, nsub * fr)
@@ -969,18 +963,35 @@ class FoldPipeline:
                 good = (flat <= thresh * jnp.maximum(med, 1e-30)
                         ).astype(jnp.float32)
                 mask = jnp.min(good, axis=1)  # [nchan_in, n_fft]
-                return permute_response(base_r * mask, base_i * mask,
-                                        front_plan)
+                mp_, _ = permute_response(mask, jnp.zeros_like(mask),
+                                          front_plan)
+                return mp_
 
-            if rfi_2pass:
-                bare_gr = jnp.asarray(cstf.gr)
-                bare_gi = jnp.asarray(cstf.gi)
+            # the base the mask multiplies into: the permuted chirp (or
+            # permuted ones when a Jones response carries the chirp —
+            # cstf was built with response=None then, so cstf.gr/gi IS
+            # ones/zeros; reference ResponseProduct semantics)
+            bare_gr = jnp.asarray(cstf.gr, jnp.float32)
+            bare_gi = jnp.asarray(cstf.gi, jnp.float32)
 
+            if rfi_2pass and chan_sharded:
+                # channel-sharded same-block zap: the bare LOCAL chirp
+                # rides in as the traced (gr, gi) pair; mask x chirp is
+                # a real elementwise multiply in the permuted domain
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def step(profiles, hits, raw, phi0, dphi, gr, gi,
+                         bounds=None, chan_ix=None):
+                    out1 = front(raw, gr, gi)
+                    m = zap_mask_perm(out1[2])
+                    out = front(raw, gr * m, gi * m)
+                    return _tail(profiles, hits, out, phi0, dphi, bounds,
+                                 chan_ix)
+            elif rfi_2pass:
                 @partial(jax.jit, donate_argnums=(0, 1))
                 def step(profiles, hits, raw, phi0, dphi, bounds=None):
                     out1 = front(raw, bare_gr, bare_gi)
-                    gr2, gi2 = next_response(out1[2])
-                    out = front(raw, gr2, gi2)
+                    m = zap_mask_perm(out1[2])
+                    out = front(raw, bare_gr * m, bare_gi * m)
                     return _tail(profiles, hits, out, phi0, dphi, bounds)
             else:
                 @partial(jax.jit, donate_argnums=(0, 1))
@@ -988,8 +999,8 @@ class FoldPipeline:
                          bounds=None):
                     out = front(raw, gr, gi)
                     tail = _tail(profiles, hits, out, phi0, dphi, bounds)
-                    gr2, gi2 = next_response(out[2])
-                    return (*tail, gr2, gi2)
+                    m = zap_mask_perm(out[2])
+                    return (*tail, bare_gr * m, bare_gi * m)
         elif chan_sharded:
             @partial(jax.jit, donate_argnums=(0, 1))
             def step(profiles, hits, raw, phi0, dphi, gr, gi, bounds=None,

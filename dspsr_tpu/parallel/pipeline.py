@@ -134,7 +134,10 @@ class ShardedFoldPipeline:
                 self.mega_chan = True
             elif (probe.mega_mode == "hybrid"
                   and probe._jones_natural is None
-                  and not cfg.rfi_filter):
+                  and (not cfg.rfi_filter or cfg.rfi_same_block)):
+                # RFI rides chan-sharded only in the state-free two-pass
+                # mode (the zap is channel-local: the median runs within
+                # each input channel's own band)
                 self.inner = probe
                 self.hybrid_chan = True
         if not (self.mega_chan or self.hybrid_chan):

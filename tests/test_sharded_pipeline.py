@@ -587,6 +587,18 @@ def test_chan_sharded_hybrid_cyclic_fused(tmp_path):
     _hybrid_chan_parity(tmp_path, cfg, "hccy.raw")
 
 
+def test_chan_sharded_hybrid_rfi_two_pass(tmp_path):
+    """RFI under CHANNEL sharding rides the fused two-pass hybrid (r5):
+    the zap is channel-local (the median runs within each input
+    channel's own band), so each (time, chan) shard computes exactly the
+    single-chip mask for its group — parity with the single-chip
+    two-pass run."""
+    cfg = _cfg(use_megakernel=True, nchan=8, frequency_resolution=128,
+               rfi_filter=True, rfi_same_block=True, rfi_median_width=9,
+               digitizer_stats=False)
+    _hybrid_chan_parity(tmp_path, cfg, "hcrfi.raw")
+
+
 def test_chan_sharded_hybrid_sk_subints(tmp_path):
     """Chan-sharded hybrid + sample-exact -L boundaries mid-shard."""
     obs = _obs_mc()
