@@ -920,10 +920,21 @@ class FoldPipeline:
             and (not chan_sharded or self.config.rfi_same_block)
         rfi_2pass = rfi_on and self.config.rfi_same_block
         rfi_fused = rfi_on and not rfi_2pass
-        front = build_megafil(front_plan, cstf, self.npart,
-                              return_weights=True, output=mode,
-                              passband=self.config.passband or rfi_on,
-                              response_as_args=rfi_on or chan_sharded)
+        # chan-sharded Jones: the four response planes ride as the traced
+        # per-shard pair (the scalar slot stays closure ones); the
+        # chan-sharded step signature is identical either way
+        jones_args = chan_sharded and self._jones_natural is not None
+        if jones_args and rfi_on:
+            raise NotImplementedError(
+                "RFI x Jones under channel sharding is not wired "
+                "(the sharded driver keeps that combination on the XLA "
+                "chain)")
+        front = build_megafil(
+            front_plan, cstf, self.npart,
+            return_weights=True, output=mode,
+            passband=self.config.passband or rfi_on,
+            response_as_args=rfi_on or (chan_sharded and not jones_args),
+            jones_as_args=jones_args)
         # geometry from the (possibly channel-LOCAL) front plan: a
         # channel-sharded shard_map builds one step over its local
         # channel group (parallel.pipeline chan-sharded hybrid mode)

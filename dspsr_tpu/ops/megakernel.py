@@ -1132,7 +1132,8 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
                   return_weights: bool = False,
                   output: str = "detected",
                   passband: bool = False,
-                  response_as_args: bool = False):
+                  response_as_args: bool = False,
+                  jones_as_args: bool = False):
     """Fused front end: unpack -> forward FFT -> response -> subband
     inversion [-> detect], one ``pallas_call`` per block, plus the (cheap,
     XLA) de-permutation back to time order.  Serves digifil's hot path AND
@@ -1173,6 +1174,12 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     constants — so a per-block response (e.g. the chirp times a
     time-adaptive RFI zap mask, reference RFIFilter x ResponseProduct) can
     reach the fused front end without recompilation.
+
+    With ``jones_as_args=True`` the four Jones response planes ride as
+    TRACED step arguments ``jxr/jxi f32[nchan_in, 4, R1, R2]`` (appended
+    after the scalar response args when both are traced) — so a
+    channel-sharded ``shard_map`` can hand each shard its channel group's
+    Jones planes while sharing ONE compiled program.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1192,7 +1199,7 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
     scale, offset = cst.unpack_scale, cst.unpack_offset
     has_lohi = bool(p.npw)
     has_apod = cst.apod is not None
-    has_jones = cst.jxr is not None
+    has_jones = cst.jxr is not None or jones_as_args
     # output pols folded into the detected planes; with Jones or voltage
     # output (or a passband tap) every INPUT pol's spectrum is computed
     pols = {"pp": (0,), "qq": (1,)}.get(p.detection, tuple(range(npol)))
@@ -1419,11 +1426,11 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
 
     const_pre = [consts[n] for n in ("w1r", "w1i", "tr", "ti", "er", "ei")]
     const_resp = [] if response_as_args else [consts["gr"], consts["gi"]]
-    const_post = []
-    if has_jones:
-        const_post += [jnp.asarray(cst.jxr), jnp.asarray(cst.jxi)]
-    const_post += [consts[n] for n in
-                   ("mr", "mi", "ur", "ui", "vr", "vi", "sel")]
+    const_jones = []
+    if has_jones and not jones_as_args:
+        const_jones = [jnp.asarray(cst.jxr), jnp.asarray(cst.jxi)]
+    const_post = [consts[n] for n in
+                  ("mr", "mi", "ur", "ui", "vr", "vi", "sel")]
     if has_lohi:
         const_post.append(jnp.asarray(cst.expand))
     if has_apod:
@@ -1473,7 +1480,7 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
         return jnp.transpose(flat, (0, 2, 1, 3)).reshape(
             nchan * nsub, npol, p.freq_res)
 
-    def _run(raw, resp):
+    def _run(raw, resp, jones=None):
         """raw uint8/f32 flat TFP bytes -> data[, wgt][, pb]."""
         if raw.dtype == jnp.uint8 and p.nbit == 32:
             raw = jax.lax.bitcast_convert_type(
@@ -1484,6 +1491,7 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             args.append(lohi)
         args += const_pre
         args += list(resp) if response_as_args else const_resp
+        args += list(jones) if jones_as_args else const_jones
         args += const_post
         res = call(*args)
         if passband:
@@ -1502,7 +1510,17 @@ def build_megafil(plan: MegaPlan, cst: MegaConstants, npart: int,
             out.append(_depermute_pb(pb))
         return tuple(out)
 
-    if response_as_args:
+    if response_as_args and jones_as_args:
+        @jax.jit
+        def step(raw, gr, gi, jxr, jxi):
+            return _run(raw, (gr, gi), (jxr, jxi))
+    elif jones_as_args:
+        @jax.jit
+        def step(raw, jxr, jxi):
+            """jxr/jxi f32[nchan_in, 4, R1, R2]: per-channel Jones planes
+            in the kernel's permuted layout (MegaConstants jones)."""
+            return _run(raw, None, (jxr, jxi))
+    elif response_as_args:
         @jax.jit
         def step(raw, gr, gi):
             """gr/gi f32[nchan_in, R1, R2]: the per-channel response in the

@@ -133,11 +133,14 @@ class ShardedFoldPipeline:
                 self.inner = probe
                 self.mega_chan = True
             elif (probe.mega_mode == "hybrid"
-                  and probe._jones_natural is None
-                  and (not cfg.rfi_filter or cfg.rfi_same_block)):
+                  and (not cfg.rfi_filter or cfg.rfi_same_block)
+                  and not (probe._jones_natural is not None
+                           and cfg.rfi_filter)):
                 # RFI rides chan-sharded only in the state-free two-pass
                 # mode (the zap is channel-local: the median runs within
-                # each input channel's own band)
+                # each input channel's own band); Jones rides with its
+                # four planes as the chan-sharded traced pair.  The
+                # RFI x Jones combination stays on the XLA chain.
                 self.inner = probe
                 self.hybrid_chan = True
         if not (self.mega_chan or self.hybrid_chan):
@@ -285,15 +288,30 @@ class ShardedFoldPipeline:
                                   window=win)
         self._chan_step = inner._build_hybrid_step(
             fp_local, cst_local, chan_sharded=True)
-        # the per-channel chirp of the FULL band, chan-sharded so each
-        # shard's traced (gr, gi) carries exactly its group's response
+        # the per-channel response of the FULL band, chan-sharded so each
+        # shard's traced pair carries exactly its group's response: the
+        # scalar chirp pair, or (with a Jones calibration) the four
+        # permuted Jones planes [nchan, 4, R1, R2]
         resp = inner.kernel.phasors if inner.kernel is not None else None
-        cst_full = MegaConstants(mp, resp, dtype=dt, unpack_scale=scale,
-                                 unpack_offset=offset,
-                                 twobit=inner.unpack_plan.twobit,
-                                 window=win)
-        self._gr_d = self._commit(np.asarray(cst_full.gr), P("chan"))
-        self._gi_d = self._commit(np.asarray(cst_full.gi), P("chan"))
+        if inner._jones_natural is not None:
+            cst_full = MegaConstants(mp, None, dtype=dt,
+                                     unpack_scale=scale,
+                                     unpack_offset=offset,
+                                     twobit=inner.unpack_plan.twobit,
+                                     window=win,
+                                     jones=inner._jones_natural)
+            self._gr_d = self._commit(
+                np.asarray(cst_full.jxr, np.float32), P("chan"))
+            self._gi_d = self._commit(
+                np.asarray(cst_full.jxi, np.float32), P("chan"))
+        else:
+            cst_full = MegaConstants(mp, resp, dtype=dt,
+                                     unpack_scale=scale,
+                                     unpack_offset=offset,
+                                     twobit=inner.unpack_plan.twobit,
+                                     window=win)
+            self._gr_d = self._commit(np.asarray(cst_full.gr), P("chan"))
+            self._gi_d = self._commit(np.asarray(cst_full.gi), P("chan"))
 
     def _build_step_chan_hybrid(self):
         n_time = self.n_time

@@ -599,6 +599,27 @@ def test_chan_sharded_hybrid_rfi_two_pass(tmp_path):
     _hybrid_chan_parity(tmp_path, cfg, "hcrfi.raw")
 
 
+def test_chan_sharded_hybrid_jones_fused(tmp_path):
+    """Jones matrix convolution under CHANNEL sharding rides the fused
+    path (r5): the four permuted Jones planes are the chan-sharded
+    traced pair, so each shard mixes its own channel group's calibration
+    — parity with the single-chip hybrid Jones run."""
+    rng = np.random.default_rng(2)
+    freqs = np.linspace(1399.0, 1401.0, 64)
+    j = np.empty((64, 2, 2), np.complex128)
+    for i in range(64):
+        a = 0.1 * rng.standard_normal(2)
+        j[i] = np.eye(2) + np.array([[0, a[0] + 1j * a[1]],
+                                     [a[0] - 1j * a[1], 0]])
+    np.savez(tmp_path / "calc.npz", freq=freqs, jones=j)
+    cfg = _cfg(use_megakernel=True, nchan=2, npol_out=4,
+               frequency_resolution=256, dispersion_measure=1.0,
+               calibration_path=str(tmp_path / "calc.npz"),
+               digitizer_stats=False)
+    sh, res_n, res_1 = _hybrid_chan_parity(tmp_path, cfg, "hcj.raw")
+    assert sh.inner._jones_natural is not None
+
+
 def test_chan_sharded_hybrid_sk_subints(tmp_path):
     """Chan-sharded hybrid + sample-exact -L boundaries mid-shard."""
     obs = _obs_mc()
