@@ -924,11 +924,6 @@ class FoldPipeline:
         # per-shard pair (the scalar slot stays closure ones); the
         # chan-sharded step signature is identical either way
         jones_args = chan_sharded and self._jones_natural is not None
-        if jones_args and rfi_on:
-            raise NotImplementedError(
-                "RFI x Jones under channel sharding is not wired "
-                "(the sharded driver keeps that combination on the XLA "
-                "chain)")
         front = build_megafil(
             front_plan, cstf, self.npart,
             return_weights=True, output=mode,
@@ -985,7 +980,21 @@ class FoldPipeline:
             bare_gr = jnp.asarray(cstf.gr, jnp.float32)
             bare_gi = jnp.asarray(cstf.gi, jnp.float32)
 
-            if rfi_2pass and chan_sharded:
+            if rfi_2pass and chan_sharded and jones_args:
+                # RFI x Jones under channel sharding: the Jones planes
+                # (chirp pre-multiplied in) are the chan-sharded traced
+                # pair; the scalar slot carries ones on the measuring
+                # pass and the locally-computed mask on the zap pass —
+                # shard-invariant closure constants, one compiled program
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def step(profiles, hits, raw, phi0, dphi, jxr, jxi,
+                         bounds=None, chan_ix=None):
+                    out1 = front(raw, bare_gr, bare_gi, jxr, jxi)
+                    m = zap_mask_perm(out1[2])
+                    out = front(raw, bare_gr * m, bare_gi * m, jxr, jxi)
+                    return _tail(profiles, hits, out, phi0, dphi, bounds,
+                                 chan_ix)
+            elif rfi_2pass and chan_sharded:
                 # channel-sharded same-block zap: the bare LOCAL chirp
                 # rides in as the traced (gr, gi) pair; mask x chirp is
                 # a real elementwise multiply in the permuted domain

@@ -133,14 +133,13 @@ class ShardedFoldPipeline:
                 self.inner = probe
                 self.mega_chan = True
             elif (probe.mega_mode == "hybrid"
-                  and (not cfg.rfi_filter or cfg.rfi_same_block)
-                  and not (probe._jones_natural is not None
-                           and cfg.rfi_filter)):
+                  and (not cfg.rfi_filter or cfg.rfi_same_block)):
                 # RFI rides chan-sharded only in the state-free two-pass
                 # mode (the zap is channel-local: the median runs within
                 # each input channel's own band); Jones rides with its
-                # four planes as the chan-sharded traced pair.  The
-                # RFI x Jones combination stays on the XLA chain.
+                # four planes as the chan-sharded traced pair (combined
+                # RFI x Jones: the scalar slot carries ones then the
+                # local mask — shard-invariant).
                 self.inner = probe
                 self.hybrid_chan = True
         if not (self.mega_chan or self.hybrid_chan):

@@ -620,6 +620,27 @@ def test_chan_sharded_hybrid_jones_fused(tmp_path):
     assert sh.inner._jones_natural is not None
 
 
+def test_chan_sharded_hybrid_rfi_jones_fused(tmp_path):
+    """RFI x Jones under CHANNEL sharding (the last combination): the
+    Jones planes ride chan-sharded; the scalar slot carries ones on the
+    measuring pass and the locally-computed zap mask on the second pass
+    — parity with the single-chip two-pass Jones run."""
+    rng = np.random.default_rng(2)
+    freqs = np.linspace(1399.0, 1401.0, 64)
+    j = np.empty((64, 2, 2), np.complex128)
+    for i in range(64):
+        a = 0.1 * rng.standard_normal(2)
+        j[i] = np.eye(2) + np.array([[0, a[0] + 1j * a[1]],
+                                     [a[0] - 1j * a[1], 0]])
+    np.savez(tmp_path / "caljr.npz", freq=freqs, jones=j)
+    cfg = _cfg(use_megakernel=True, nchan=2, npol_out=4,
+               frequency_resolution=256, dispersion_measure=1.0,
+               calibration_path=str(tmp_path / "caljr.npz"),
+               rfi_filter=True, rfi_same_block=True, rfi_median_width=9,
+               digitizer_stats=False)
+    _hybrid_chan_parity(tmp_path, cfg, "hcjr.raw")
+
+
 def test_chan_sharded_hybrid_sk_subints(tmp_path):
     """Chan-sharded hybrid + sample-exact -L boundaries mid-shard."""
     obs = _obs_mc()
