@@ -54,6 +54,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference digifil -t threads / LoadToFilN)")
     p.add_argument("-c", "--constant-levels", action="store_true",
                    help="freeze offset/scale after first block (digifil -c)")
+    p.add_argument("-s", "--scale", type=float, default=1.0,
+                   metavar="FAC",
+                   help="data scale factor applied before requantization "
+                        "(reference -s)")
+    p.add_argument("-B", "--block-mb", type=float, default=None,
+                   metavar="MB",
+                   help="block size in megabytes (reference -B; see also "
+                        "--block-samples)")
+    p.add_argument("-2", "--no-excision", dest="no_excision",
+                   action="store_true",
+                   help="disable 2-bit excision: plain BitTable levels "
+                        "(reference -2; alias of --fixed-twobit)")
     p.add_argument("-T", "--total", type=float, default=None)
     p.add_argument("--block-parts", type=int, default=4)
     p.add_argument("--block-samples", type=int, default=None,
@@ -84,10 +96,13 @@ def main(argv=None) -> int:
         poln_select=args.poln_select,
         interchannel_align=args.interchannel_align,
         apply_weights=not args.no_weights,
-        dynamic_twobit=not args.fixed_twobit,
+        dynamic_twobit=not (args.fixed_twobit or args.no_excision),
+        scale_factor=args.scale,
         block_parts=args.block_parts,
         **({"min_block_samples": args.block_samples}
-           if args.block_samples is not None else {}),
+           if args.block_samples is not None
+           else ({"min_block_samples": int(args.block_mb * 1e6 / 4)}
+                 if args.block_mb else {})),
     )
     src = (open_source(args.files[0]) if len(args.files) == 1
            else MultiFile(args.files))

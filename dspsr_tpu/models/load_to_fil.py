@@ -58,6 +58,9 @@ class FilConfig:
     #: (reference Rescale interval semantics, Signal/General/Rescale.C)
     rescale_seconds: float = 0.0
     rescale_constant: bool = False  # -c freeze after first block
+    #: -s: extra data scale factor applied before requantization
+    #: (reference digifil -s -> Digitizer scale)
+    scale_factor: float = 1.0
     #: select a single input polarization before the filterbank
     #: (reference PolnSelect, LoadToFil.C:162-180)
     poln_select: Optional[int] = None
@@ -383,7 +386,8 @@ class FilPipeline:
             rescale_state = RescaleState.zeros(*rescale_state.count.shape)
         z = apply_scales(d, mean, inv, weights)
         dmean, dscale = self.config.digi_params()
-        packed = digitize(z, self.config.nbits, dmean, dscale)
+        packed = digitize(z, self.config.nbits, dmean,
+                          dscale * self.config.scale_factor)
         return rescale_state, mean, inv, packed
 
     def run(self, output_path: str, max_blocks: Optional[int] = None,
